@@ -1,0 +1,205 @@
+"""Minimal functional NN layer library (NHWC, params as pytrees).
+
+Design: networks are pure functions ``apply(params, x)`` over nested-dict
+parameter pytrees. This keeps the frame recurrence trivially compatible with
+``lax.scan``, makes torch-checkpoint conversion a mechanical mapping, and
+lets train steps donate/shard params without framework indirection.
+
+Conventions:
+- activations NHWC, conv kernels HWIO, conv-transpose kernels stored in the
+  torch-equivalent layout but converted at load time to an HWIO kernel of the
+  equivalent fractionally-strided convolution (see ``conv2d_transpose``).
+- parameter dtype float32; compute dtype is the caller's choice (pass bf16
+  activations and cast params at apply time via ``cast_params``).
+
+Each layer documents the torch layer it is numerically equivalent to, since
+the reference networks (`codes/models/networks/tecogan_nets.py`) are built
+from those.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "conv2d",
+    "conv2d_transpose",
+    "dense",
+    "batch_norm",
+    "max_pool_2x2",
+    "leaky_relu",
+    "relu",
+    "init_conv",
+    "init_conv_transpose",
+    "init_dense",
+    "init_batch_norm",
+    "cast_params",
+]
+
+
+# --------------------------------------------------------------------------
+# initializers (parity with reference `net_utils.py:9-33` kaiming/xavier)
+# --------------------------------------------------------------------------
+
+def _kaiming_std(fan_in: int) -> float:
+    # kaiming_normal_(a=0, mode='fan_in', nonlinearity='leaky_relu') default
+    # used by the reference: gain = sqrt(2 / (1 + a^2)) = sqrt(2).
+    return math.sqrt(2.0 / fan_in)
+
+
+def init_conv(key, kh, kw, cin, cout, scale: float = 1.0, zero_bias=True):
+    """Conv params {'w': HWIO, 'b': (cout,)} with scaled kaiming-normal init."""
+    fan_in = kh * kw * cin
+    w = jax.random.normal(key, (kh, kw, cin, cout), jnp.float32)
+    w = w * (_kaiming_std(fan_in) * scale)
+    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def init_conv_transpose(key, kh, kw, cin, cout, scale: float = 1.0):
+    """ConvT params; stored directly as the equivalent-conv HWIO kernel.
+
+    torch inits ConvTranspose2d kaiming with fan_in = kh*kw*cout (its weight
+    layout is (cin, cout, kh, kw) and fan_in uses dim-1); we reproduce the
+    reference's kaiming_normal_(mode='fan_in') on that layout.
+    """
+    fan_in = kh * kw * cout
+    w = jax.random.normal(key, (kh, kw, cin, cout), jnp.float32)
+    w = w * (_kaiming_std(fan_in) * scale)
+    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def init_dense(key, din, dout, scale: float = 1.0):
+    w = jax.random.normal(key, (din, dout), jnp.float32) * (
+        _kaiming_std(din) * scale
+    )
+    return {"w": w, "b": jnp.zeros((dout,), jnp.float32)}
+
+
+def init_batch_norm(c):
+    return {
+        "scale": jnp.ones((c,), jnp.float32),
+        "bias": jnp.zeros((c,), jnp.float32),
+        "mean": jnp.zeros((c,), jnp.float32),  # running mean (EMA)
+        "var": jnp.ones((c,), jnp.float32),  # running var (EMA)
+    }
+
+
+def cast_params(params, dtype):
+    """Cast floating leaves of a param pytree to ``dtype``."""
+    def cast(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, params)
+
+
+# --------------------------------------------------------------------------
+# layers
+# --------------------------------------------------------------------------
+
+def conv2d(p, x, stride: int = 1, padding: int | str = "SAME"):
+    """NHWC conv, numerically equal to torch Conv2d(k, stride, padding).
+
+    ``padding`` as an int means symmetric zero padding of that many pixels
+    (torch-style); "SAME"/"VALID" are also accepted.
+    """
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def conv2d_transpose(p, x, stride: int = 2, padding: int = 1,
+                     output_padding: int = 1):
+    """NHWC transposed conv == torch ConvTranspose2d(k, stride, padding,
+    output_padding) with the kernel stored pre-converted to the equivalent
+    fractionally-strided conv's HWIO layout (spatially flipped at load time).
+
+    Equivalence: lhs_dilation=stride, per-side padding
+    (k-1-p, k-1-p+output_padding).
+    """
+    kh, kw = p["w"].shape[0], p["w"].shape[1]
+    pad_h = (kh - 1 - padding, kh - 1 - padding + output_padding)
+    pad_w = (kw - 1 - padding, kw - 1 - padding + output_padding)
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(1, 1),
+        padding=(pad_h, pad_w),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def dense(p, x):
+    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+def batch_norm(p, x, train: bool, eps: float = 1e-5, momentum: float = 0.1):
+    """BatchNorm2d over NHWC with torch semantics.
+
+    In training mode, statistics are computed over (N, H, W) of the *global*
+    batch: under a batch-sharded jit this mean is a cross-replica reduction,
+    i.e. SyncBatchNorm (`base_model.py:133`) for free. Returns (y, new_p)
+    where new_p carries torch-style running stats (unbiased var EMA).
+    """
+    if train:
+        axes = (0, 1, 2)
+        mean = jnp.mean(x, axes)
+        var = jnp.mean(jnp.square(x - mean), axes)
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        # torch running-stat EMAs: mean uses batch mean, var the unbiased var
+        new_p = dict(p)
+        new_p["mean"] = (1 - momentum) * p["mean"] + momentum * mean.astype(
+            jnp.float32
+        )
+        new_p["var"] = (1 - momentum) * p["var"] + momentum * unbiased.astype(
+            jnp.float32
+        )
+    else:
+        mean, var = p["mean"].astype(x.dtype), p["var"].astype(x.dtype)
+        new_p = p
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean) * inv * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    return y, new_p
+
+
+def max_pool_2x2(x):
+    """MaxPool2d(2, 2) with floor semantics (drops odd trailing row/col)."""
+    h, w = x.shape[-3], x.shape[-2]
+    if h % 2 or w % 2:
+        x = x[..., : h // 2 * 2, : w // 2 * 2, :]
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def leaky_relu(x, slope: float = 0.2):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def relu(x):
+    return jnp.maximum(x, 0)

@@ -1,0 +1,63 @@
+"""Flow-guided backward warping (bilinear gather with border clamp).
+
+TPU-native replacement for CUDA ``F.grid_sample(mode='bilinear',
+padding_mode='border', align_corners=True)`` as used by the reference's
+``backward_warp`` (`codes/utils/net_utils.py:50-82`).
+
+With align_corners=True the reference's normalized mesh grid + flow
+normalization reduces to sampling input pixel ``(j + flow_x, i + flow_y)``
+with coordinates clamped to the image bounds — so we skip the normalized
+round-trip entirely and gather directly, which is both exact and cheaper.
+
+Numerical parity with grid_sample is covered by tests/test_warp.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["backward_warp"]
+
+
+def backward_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Warp ``x`` backward along ``flow``.
+
+    Args:
+        x: source images, shape (n, h, w, c).
+        flow: displacement field, shape (n, h, w, 2); channel 0 is the
+            horizontal (width/x) displacement, channel 1 vertical (height/y),
+            in pixels — matching the reference flow convention.
+
+    Returns:
+        Warped images (n, h, w, c): ``out[i, j] = x[i + fy, j + fx]`` sampled
+        bilinearly with border clamping.
+    """
+    n, h, w, c = x.shape
+    ft = flow.dtype
+
+    sx = jnp.arange(w, dtype=ft)[None, None, :] + flow[..., 0]
+    sy = jnp.arange(h, dtype=ft)[None, :, None] + flow[..., 1]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0)[..., None]
+    wy = (sy - y0)[..., None]
+
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+
+    def gather(img, yi, xi):
+        return img[yi, xi]  # (h, w, c) indexed by (h, w) grids -> (h, w, c)
+
+    g = jax.vmap(gather)
+    v00 = g(x, y0i, x0i)
+    v01 = g(x, y0i, x1i)
+    v10 = g(x, y1i, x0i)
+    v11 = g(x, y1i, x1i)
+
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
