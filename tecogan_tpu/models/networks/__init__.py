@@ -1,0 +1,96 @@
+"""Network factories (reference contract: `codes/models/networks/__init__.py`).
+
+``define_generator`` / ``define_discriminator`` map the YAML model blocks to
+(config, init_fn) pairs; parameters are created explicitly by the caller so
+model wrappers control RNG and sharding.
+"""
+
+from .fnet import fnet_apply, init_fnet
+from .srnet import init_srnet, srnet_apply
+from .frnet import (
+    FRNetConfig,
+    forward_sequence,
+    infer_sequence,
+    init_frnet,
+    step,
+)
+from .discriminators import (
+    SNetConfig,
+    STNetConfig,
+    init_snet,
+    init_stnet,
+    snet_apply,
+    stnet_apply,
+    build_flow_merge,
+)
+from .vgg import init_vgg19, vgg19_features
+
+
+def define_generator(opt):
+    """opt -> (FRNetConfig, init_fn). Supports generator name 'frnet'."""
+    g = opt["model"]["generator"]
+    name = g["name"].lower()
+    if name != "frnet":
+        raise ValueError(f"Unrecognized generator: {g['name']}")
+    cfg = FRNetConfig(
+        in_nc=g["in_nc"],
+        out_nc=g["out_nc"],
+        nf=g["nf"],
+        nb=g["nb"],
+        scale=opt["scale"],
+        degradation=opt["dataset"]["degradation"]["type"],
+    )
+    return cfg, (lambda key: init_frnet(key, cfg))
+
+
+def define_discriminator(opt):
+    """opt -> (config, init_fn, apply_fn) for 'stnet' | 'snet'."""
+    d = opt["model"]["discriminator"]
+    degradation = opt["dataset"]["degradation"]["type"]
+    train_ds = opt["dataset"]["train"]
+    spatial_size = (
+        train_ds["crop_size"] if degradation == "BD"
+        else train_ds["gt_crop_size"]
+    )
+    name = d["name"].lower()
+    if name == "stnet":
+        cfg = STNetConfig(
+            in_nc=d["in_nc"],
+            spatial_size=spatial_size,
+            tempo_range=d["tempo_range"],
+            degradation=degradation,
+            scale=opt["scale"],
+        )
+        return cfg, (lambda key: init_stnet(key, cfg)), stnet_apply
+    if name == "snet":
+        cfg = SNetConfig(
+            in_nc=d["in_nc"],
+            spatial_size=spatial_size,
+            use_cond=d["use_cond"],
+        )
+        return cfg, (lambda key: init_snet(key, cfg)), snet_apply
+    raise ValueError(f"Unrecognized discriminator: {d['name']}")
+
+
+__all__ = [
+    "FRNetConfig",
+    "STNetConfig",
+    "SNetConfig",
+    "define_generator",
+    "define_discriminator",
+    "init_frnet",
+    "init_fnet",
+    "init_srnet",
+    "init_stnet",
+    "init_snet",
+    "init_vgg19",
+    "fnet_apply",
+    "srnet_apply",
+    "stnet_apply",
+    "snet_apply",
+    "vgg19_features",
+    "forward_sequence",
+    "infer_sequence",
+    "step",
+    "build_flow_merge",
+]

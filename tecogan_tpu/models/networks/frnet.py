@@ -1,0 +1,214 @@
+"""FRNet — frame-recurrent generator (FNet + SRNet), scan-based.
+
+TPU-native re-design of the reference generator (`tecogan_nets.py:150-314`,
+FRVSR, arXiv:1801.04590):
+
+- Training unroll: optical flow for all (t-1) frame pairs is computed in ONE
+  batched FNet call (reference batches the same way, `tecogan_nets.py:183-186`),
+  then the HR recurrence runs as a ``lax.scan`` over time with the previous
+  HR frame as carry. The first frame (zero previous state) is folded into the
+  scan by prepending a zero flow — warping a zero image is a zero image, so
+  step 0 degenerates to exactly the reference's zeros-packed first step
+  (`tecogan_nets.py:192-198`).
+- Streaming inference: frames are processed in fixed-size chunks. Per chunk,
+  FNet runs batched over the chunk's (cur, prev) pairs, then an inner scan
+  performs the warp + SRNet recurrence. The HR state never leaves the device
+  (the reference pays a D2H transfer per frame, `tecogan_nets.py:278`).
+
+Static configuration lives in ``FRNetConfig``; parameters are a pytree
+{'fnet': ..., 'srnet': ...}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import backward_warp, get_upsampling_fn, space_to_depth
+from .fnet import fnet_apply, init_fnet
+from .srnet import init_srnet, srnet_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class FRNetConfig:
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    nb: int = 10
+    scale: int = 4
+    degradation: str = "BD"
+    # rematerialise the per-frame SRNet step during the training unroll to
+    # keep BPTT memory O(t * activation-of-one-frame)
+    remat: bool = True
+
+    @property
+    def upsample_fn(self):
+        return get_upsampling_fn(self.scale, self.degradation)
+
+
+def init_frnet(key, cfg: FRNetConfig):
+    kf, ks = jax.random.split(key)
+    return {
+        "fnet": init_fnet(kf, cfg.in_nc),
+        "srnet": init_srnet(ks, cfg.in_nc, cfg.out_nc, cfg.nf, cfg.nb,
+                            cfg.scale),
+    }
+
+
+# --------------------------------------------------------------------------
+# shared pieces
+# --------------------------------------------------------------------------
+
+def _reflect_pad_flow(flow: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Reflect-pad a (…, h8, w8, 2) flow up to (…, h, w, 2).
+
+    FNet's pool/upsample ladder floors sizes to multiples of 8; the reference
+    reflect-pads the flow back to the LR size before upsampling
+    (`tecogan_nets.py:239-241`).
+    """
+    ph = h - flow.shape[-3]
+    pw = w - flow.shape[-2]
+    if ph == 0 and pw == 0:
+        return flow
+    pad = [(0, 0)] * (flow.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+    return jnp.pad(flow, pad, mode="reflect")
+
+
+def _hr_flow(cfg: FRNetConfig, lr_flow: jnp.ndarray, h: int, w: int):
+    """LR flow -> HR flow: reflect pad to LR size, upsample, scale velocities."""
+    lr_flow = _reflect_pad_flow(lr_flow, h, w)
+    return cfg.scale * cfg.upsample_fn(lr_flow)
+
+
+def _sr_step(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev, hr_flow):
+    """One recurrence step: warp previous HR, pack, reconstruct."""
+    hr_warp = backward_warp(hr_prev, hr_flow)
+    return srnet_apply(
+        srnet_params, lr_curr, space_to_depth(hr_warp, cfg.scale),
+        cfg.upsample_fn, cfg.nb, cfg.scale)
+
+
+# --------------------------------------------------------------------------
+# training unroll
+# --------------------------------------------------------------------------
+
+def forward_sequence(params, lr_data: jnp.ndarray, cfg: FRNetConfig):
+    """Run the full training unroll.
+
+    Args:
+        params: {'fnet', 'srnet'} pytree.
+        lr_data: (n, t, h, w, c) LR clip.
+
+    Returns dict (mirroring the reference contract, `tecogan_nets.py:216-223`):
+        hr_data: (n, t, s*h, s*w, c)
+        hr_flow: (n, t-1, s*h, s*w, 2)
+        lr_prev/lr_curr: (n*(t-1), h, w, c)
+        lr_flow: (n*(t-1), h, w, 2)
+    """
+    n, t, h, w, c = lr_data.shape
+    s = cfg.scale
+
+    lr_prev = lr_data[:, :-1].reshape(n * (t - 1), h, w, c)
+    lr_curr = lr_data[:, 1:].reshape(n * (t - 1), h, w, c)
+    lr_flow = fnet_apply(params["fnet"], lr_curr, lr_prev)
+
+    hr_flow = _hr_flow(cfg, lr_flow, h, w)
+    hr_flow = hr_flow.reshape(n, t - 1, s * h, s * w, 2)
+
+    # prepend a zero flow so the scan's step 0 reproduces the zero-state
+    # first frame exactly (warp of a zero image is zero)
+    flow0 = jnp.zeros((n, 1, s * h, s * w, 2), hr_flow.dtype)
+    flows = jnp.concatenate([flow0, hr_flow], axis=1)
+
+    step = functools.partial(_sr_step, cfg, params["srnet"])
+    if cfg.remat:
+        step = jax.checkpoint(step)
+
+    def body(hr_prev, inp):
+        lr_i, flow_i = inp
+        hr_i = step(lr_i, hr_prev, flow_i)
+        return hr_i, hr_i
+
+    hr0 = jnp.zeros((n, s * h, s * w, cfg.out_nc), lr_data.dtype)
+    # scan over time: (t, n, ...) leading axis
+    xs = (jnp.moveaxis(lr_data, 1, 0), jnp.moveaxis(flows, 1, 0))
+    _, hr_seq = jax.lax.scan(body, hr0, xs)
+    hr_data = jnp.moveaxis(hr_seq, 0, 1)  # (n, t, H, W, c)
+
+    return {
+        "hr_data": hr_data,
+        "hr_flow": hr_flow,
+        "lr_prev": lr_prev,
+        "lr_curr": lr_curr,
+        "lr_flow": lr_flow,
+    }
+
+
+# --------------------------------------------------------------------------
+# single-frame step (profiling / torch-parity with reference `step`)
+# --------------------------------------------------------------------------
+
+def step(params, lr_curr, lr_prev, hr_prev, cfg: FRNetConfig):
+    """One streaming step: (n,h,w,c) x2 + (n,sh,sw,c) -> (n,sh,sw,c).
+
+    Mirrors the reference single-frame path (`tecogan_nets.py:227-252`)
+    including the flow padding for sizes not divisible by 8.
+    """
+    h, w = lr_curr.shape[-3], lr_curr.shape[-2]
+    lr_flow = fnet_apply(params["fnet"], lr_curr, lr_prev)
+    hr_flow = _hr_flow(cfg, lr_flow, h, w)
+    return _sr_step(cfg, params["srnet"], lr_curr, hr_prev, hr_flow)
+
+
+# --------------------------------------------------------------------------
+# streaming inference
+# --------------------------------------------------------------------------
+
+def infer_sequence(params, lr_seq: jnp.ndarray, cfg: FRNetConfig,
+                   chunk: int = 16) -> jnp.ndarray:
+    """SR an arbitrary-length LR sequence; returns uint8 (t, sh, sw, c).
+
+    Chunked double-scan: FNet is batched over each chunk's frame pairs (big
+    MXU-friendly batches), the SRNet recurrence scans within the chunk, and
+    an outer scan carries (lr_prev, hr_prev) across chunks. Output frames are
+    quantised to uint8 on device; the caller does one D2H for the whole
+    sequence.
+    """
+    t, h, w, c = lr_seq.shape
+    s = cfg.scale
+
+    # pad to a multiple of `chunk` with edge frames (trimmed after)
+    n_chunks = -(-t // chunk)
+    pad = n_chunks * chunk - t
+    if pad:
+        lr_seq = jnp.concatenate(
+            [lr_seq, jnp.broadcast_to(lr_seq[-1:], (pad, h, w, c))], axis=0)
+
+    lr_chunks = lr_seq.reshape(n_chunks, chunk, h, w, c)
+
+    def outer(carry, lr_chunk):
+        lr_prev0, hr_prev0 = carry
+        prevs = jnp.concatenate([lr_prev0[None], lr_chunk[:-1]], axis=0)
+        lr_flow = fnet_apply(params["fnet"], lr_chunk, prevs)
+        hr_flow = _hr_flow(cfg, lr_flow, h, w)
+
+        def inner(hr_prev, inp):
+            lr_i, flow_i = inp
+            hr_i = _sr_step(cfg, params["srnet"], lr_i[None], hr_prev[None],
+                            flow_i[None])[0]
+            return hr_i, hr_i
+
+        _, hr_chunk = jax.lax.scan(inner, hr_prev0, (lr_chunk, hr_flow))
+        out = jnp.clip(jnp.round(hr_chunk * 255.0), 0, 255).astype(jnp.uint8)
+        return (lr_chunk[-1], hr_chunk[-1]), out
+
+    carry0 = (
+        jnp.zeros((h, w, c), lr_seq.dtype),
+        jnp.zeros((s * h, s * w, cfg.out_nc), lr_seq.dtype),
+    )
+    _, out = jax.lax.scan(outer, carry0, lr_chunks)
+    out = out.reshape(n_chunks * chunk, s * h, s * w, cfg.out_nc)
+    return out[:t]
