@@ -1,0 +1,122 @@
+"""Model wrapper base: device mesh, data staging, inference, checkpoints.
+
+Behavioural counterpart of the reference's BaseModel (`base_model.py:14-251`)
+re-shaped for single-controller JAX:
+
+- ``prepare_training_data``: host uint8/float32 batch -> device, sharded over
+  the dp mesh axis. The BD degradation itself happens *inside* the jitted
+  train step (see models/steps.py), not here.
+- ``prepare_inference_data``: reference semantics (`base_model.py:87-122`)
+  including on-the-fly BD LR generation when no LR stream exists — executed
+  on-device (the reference does this on CPU).
+- ``pad_sequence``: reflect/replicate temporal front padding
+  (`base_model.py:230-251`).
+- checkpoints: native .npz pytrees; also exports reference-compatible .pth
+  when torch is importable. Optimizer state IS saved (the reference's
+  save_training_state is an empty TODO).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import downsample_bd
+from ..parallel import batch_sharding, get_mesh, replicated
+from ..utils import ckpt as ckpt_io
+from ..utils.logging_utils import format_train_msg, log_info
+
+
+class BaseVSRModel:
+    def __init__(self, opt, mesh=None):
+        self.opt = opt
+        self.scale = opt["scale"]
+        self.is_train = opt.get("is_train", False)
+        if mesh is None:
+            ids = opt.get("device_ids") or None
+            devs = jax.devices()
+            if ids:
+                devs = [devs[i] for i in ids if i < len(devs)]
+            mesh = get_mesh(devices=devs)
+        self.mesh = mesh
+        self.log_decay = opt.get("logger", {}).get("decay", 0.99)
+        if self.is_train:
+            self.ckpt_dir = opt["train"]["ckpt_dir"]
+
+        self._infer_fn_cache = {}
+
+    # ------------------------------------------------------------------ data
+    def prepare_training_data(self, batch):
+        """Host batch {'gt': (n,t,H,W,c) float32 [, 'lr']} -> sharded device."""
+        sh = batch_sharding(self.mesh)
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+    def prepare_inference_data(self, data):
+        """Sequence dict -> LR float32 (t, h, w, c) ndarray.
+
+        BD without a pre-generated LR stream degrades the GT on device with
+        reflect padding (`base_model.py:96-119`).
+        """
+        degradation = self.opt["dataset"]["degradation"]["type"]
+        if "lr" in data:
+            lr = np.asarray(data["lr"], np.float32)  # (t, h, w, c) in [0,1]
+        else:
+            assert degradation == "BD", "lr data is required for BI mode"
+            sigma = self.opt["dataset"]["degradation"].get("sigma", 1.5)
+            gt = jnp.asarray(data["gt"], jnp.float32) / 255.0
+            lr = np.asarray(
+                downsample_bd(gt, self.scale, sigma=sigma, pad_data=True))
+        return lr
+
+    def pad_sequence(self, lr_data: np.ndarray):
+        mode = self.opt["test"].get("padding_mode", "reflect")
+        n_pad = self.opt["test"].get("num_pad_front", 0)
+        assert n_pad < len(lr_data)
+        if n_pad == 0:
+            return lr_data, 0
+        if mode == "reflect":
+            pad = lr_data[1:1 + n_pad][::-1]
+        elif mode == "replicate":
+            pad = np.broadcast_to(lr_data[:1], (n_pad,) + lr_data.shape[1:])
+        else:
+            raise ValueError(f"Unrecognized padding mode: {mode}")
+        return np.concatenate([pad, lr_data], axis=0), n_pad
+
+    # ----------------------------------------------------------------- state
+    def replicate(self, tree):
+        return jax.device_put(tree, replicated(self.mesh))
+
+    # ------------------------------------------------------------------ logs
+    def get_running_log(self, state):
+        return {k: float(v) for k, v in
+                jax.device_get(state["running_log"]).items()}
+
+    def get_format_msg(self, state, epoch, it):
+        lr_dict = self.get_learning_rate(state)
+        return format_train_msg(epoch, it, lr_dict, self.get_running_log(state))
+
+    def get_learning_rate(self, state):
+        return {}
+
+    # ----------------------------------------------------------- checkpoints
+    def save_pytree(self, tree, filename):
+        path = osp.join(self.ckpt_dir, filename)
+        ckpt_io.save_pytree(tree, path)
+        log_info(f"Saved checkpoint: {path}")
+
+    def save_training_state(self, state, current_iter):
+        """Full-state checkpoint (params + optimizer + counters)."""
+        self.save_pytree(state, f"state_iter{current_iter}.npz")
+
+    def try_resume(self, state):
+        """Auto-resume from the latest state checkpoint, if any."""
+        path = ckpt_io.latest_training_state(self.ckpt_dir)
+        if path is None:
+            return state, False
+        loaded = ckpt_io.load_pytree(path)
+        state = jax.tree.map(lambda ref, x: jnp.asarray(x), state, loaded)
+        log_info(f"Resumed training state from {path}")
+        return self.replicate(state), True

@@ -1,0 +1,380 @@
+"""Jitted training steps (FRVSR pixel-loss step; TecoGAN GAN step).
+
+Each step is a single pure function ``(state, batch) -> (state, logs)``
+designed to be compiled ONCE with ``jax.jit`` over a data-parallel mesh:
+
+- batches are sharded over the mesh's ``dp`` axis; parameters/optimizer state
+  are replicated. All losses, BatchNorm statistics and the adaptive-D vote
+  are global means over the sharded batch, so XLA emits the ICI collectives
+  (the reference needs explicit DDP allreduce + `dist.all_reduce` + barrier,
+  `vsrgan_model.py:160-198`).
+- the BD degradation runs on-device inside the step (`base_model.py:55-85`
+  semantics) — GT clips stream in, LR is never materialised on the host.
+- the adaptive discriminator update is a ``lax.cond``: both branches are
+  compiled, only one executes; the vote predicate is identical on every
+  replica because it is a global mean.
+- the reference's ``.detach()`` boundaries map to ``stop_gradient``: the
+  D-phase fake input (`vsrgan_model.py:154`), the flow merge
+  (`tecogan_nets.py:432`, inside build_flow_merge), VGG targets
+  (`vsrgan_model.py:236`) and feature-matching targets (`:266`).
+- the generator forward runs ONCE per step via ``jax.vjp``; both the D phase
+  (through stop_gradient) and the G losses reuse it, exactly matching the
+  reference's single `net_G(lr_data)` call (`vsrgan_model.py:129`).
+
+Order of operations matches `vsrgan_model.py:98-286`: D is updated first,
+then G losses are computed against the *updated* discriminator.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import backward_warp, bd_border_size, downsample_bd
+from .losses import define_criterion
+from .networks import forward_sequence, stnet_apply, vgg19_features
+from .networks.discriminators import build_flow_merge
+
+
+class TrainConfig(NamedTuple):
+    """Static training configuration distilled from the YAML opt dict."""
+    scale: int
+    degradation: str  # 'BD' | 'BI'
+    sigma: float
+    tempo_extent: int
+    # criterion configs (None = disabled), as plain dicts from the YAML
+    pixel_crit: dict | None
+    warping_crit: dict | None
+    feature_crit: dict | None = None
+    pingpong_crit: dict | None = None
+    feature_matching_crit: dict | None = None
+    gan_crit: dict | None = None
+    # discriminator policy
+    update_policy: str = "adaptive"
+    update_threshold: float = 0.4
+    crop_border_ratio: float = 0.75
+
+
+def make_train_config(opt) -> TrainConfig:
+    t = opt["train"]
+    d_opt = t.get("discriminator", {})
+
+    def crit(name):
+        c = t.get(name)
+        return dict(c) if c else None
+
+    return TrainConfig(
+        scale=opt["scale"],
+        degradation=opt["dataset"]["degradation"]["type"],
+        sigma=opt["dataset"]["degradation"].get("sigma", 1.5),
+        tempo_extent=t.get("tempo_extent", 10),
+        pixel_crit=crit("pixel_crit"),
+        warping_crit=crit("warping_crit"),
+        feature_crit=crit("feature_crit"),
+        pingpong_crit=crit("pingpong_crit"),
+        feature_matching_crit=crit("feature_matching_crit"),
+        gan_crit=crit("gan_crit"),
+        update_policy=d_opt.get("update_policy", "adaptive"),
+        update_threshold=d_opt.get("update_threshold", 0.4),
+        crop_border_ratio=d_opt.get("crop_border_ratio", 1.0),
+    )
+
+
+def prepare_bd_batch(gt, scale: int, sigma: float):
+    """On-device BD degradation for a (n, t, Hb, Wb, c) GT batch.
+
+    Returns (gt_cropped, lr): the Gaussian blur + stride-s downsample uses a
+    valid conv, and the GT border the kernel consumed is cropped away
+    (`base_model.py:55-85`).
+    """
+    b = bd_border_size(sigma)
+    n, t, hb, wb, c = gt.shape
+    lr = downsample_bd(gt, scale, sigma=sigma, pad_data=False)
+    lh, lw = lr.shape[-3], lr.shape[-2]
+    gt = gt[..., b:b + scale * lh, b:b + scale * lw, :]
+    return gt, lr
+
+
+def _warp_loss(crit, out):
+    lr_warp = backward_warp(out["lr_prev"], out["lr_flow"])
+    return crit(lr_warp, out["lr_curr"])
+
+
+def _ema_update(running, current, decay, step):
+    """Device-side EMA of the log dict (reference `base_model.py:170-183`)."""
+    def upd(r, c):
+        c = jnp.asarray(c, jnp.float32)
+        return jnp.where(step == 0, c, decay * r + (1.0 - decay) * c)
+
+    return {k: upd(running[k], current[k]) for k in running}
+
+
+# --------------------------------------------------------------------------
+# FRVSR step
+# --------------------------------------------------------------------------
+
+FRVSR_LOG_KEYS = ("l_pix_G", "l_warp_G")
+
+
+def frvsr_train_step(state, batch, *, cfg_g, tcfg: TrainConfig, tx_g,
+                     log_decay: float = 0.99):
+    """One FRVSR iteration (`vsr_model.py:61-95`): pixel + warping loss."""
+    if tcfg.degradation == "BD" and "lr" not in batch:
+        gt, lr = prepare_bd_batch(batch["gt"], tcfg.scale, tcfg.sigma)
+    else:
+        gt, lr = batch["gt"], batch["lr"]
+
+    pix_crit = define_criterion(tcfg.pixel_crit)
+    warp_crit = define_criterion(tcfg.warping_crit)
+    pix_w = tcfg.pixel_crit.get("weight", 1.0)
+    warp_w = tcfg.warping_crit.get("weight", 1.0) if tcfg.warping_crit else 0.0
+
+    def loss_fn(params):
+        out = forward_sequence(params, lr, cfg_g)
+        l_pix = pix_w * pix_crit(out["hr_data"], gt)
+        logs = {"l_pix_G": l_pix}
+        loss = l_pix
+        if warp_crit is not None:
+            l_warp = warp_w * _warp_loss(warp_crit, out)
+            loss = loss + l_warp
+            logs["l_warp_G"] = l_warp
+        for k in FRVSR_LOG_KEYS:  # static log structure for the jit cache
+            logs.setdefault(k, jnp.zeros((), jnp.float32))
+        return loss, logs
+
+    grads, logs = jax.grad(loss_fn, has_aux=True)(state["g"])
+    updates, opt_g = tx_g.update(grads, state["opt_g"], state["g"])
+    new_g = jax.tree.map(lambda p, u: p + u, state["g"], updates)
+
+    step = state["step"]
+    new_state = {
+        "g": new_g,
+        "opt_g": opt_g,
+        "step": step + 1,
+        "running_log": _ema_update(state["running_log"], logs, log_decay,
+                                   step),
+    }
+    return new_state, logs
+
+
+def frvsr_init_state(params_g, tx_g):
+    return {
+        "g": params_g,
+        "opt_g": tx_g.init(params_g),
+        "step": jnp.zeros((), jnp.int32),
+        "running_log": {k: jnp.zeros((), jnp.float32) for k in
+                        FRVSR_LOG_KEYS},
+    }
+
+
+# --------------------------------------------------------------------------
+# TecoGAN step
+# --------------------------------------------------------------------------
+
+TECOGAN_LOG_KEYS = (
+    "l_gan_D", "p_real_D", "p_fake_D", "distance", "n_upd_D",
+    "l_pix_G", "l_warp_G", "l_feat_G", "l_pp_G", "l_fm_G", "l_gan_G",
+    "p_fake_G",
+)
+
+
+def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
+                       tx_g, tx_d, vgg_params=None, log_decay: float = 0.99):
+    """One TecoGAN iteration (`vsrgan_model.py:98-286`)."""
+    if tcfg.degradation == "BD" and "lr" not in batch:
+        gt, lr = prepare_bd_batch(batch["gt"], tcfg.scale, tcfg.sigma)
+    else:
+        gt, lr = batch["gt"], batch["lr"]
+
+    n, t, lh, lw, c = lr.shape
+    gh, gw = gt.shape[2], gt.shape[3]
+
+    pix_crit = define_criterion(tcfg.pixel_crit)
+    warp_crit = define_criterion(tcfg.warping_crit)
+    feat_crit = define_criterion(tcfg.feature_crit)
+    pp_crit = define_criterion(tcfg.pingpong_crit)
+    fm_crit = define_criterion(tcfg.feature_matching_crit)
+    gan_crit = define_criterion(tcfg.gan_crit)
+    use_pp = pp_crit is not None
+
+    # bicubic-conditioned data for the discriminator (`vsrgan_model.py:105-108`)
+    bi = cfg_g.upsample_fn(lr.reshape(n * t, lh, lw, c)).reshape(
+        n, t, gh, gw, c)
+
+    # ping-pong doubling: (0..t-1) -> (0..t-1, t-2..0)  (`:112-119`)
+    if use_pp:
+        dbl = lambda x: jnp.concatenate([x, x[:, ::-1][:, 1:]], axis=1)
+        lr, gt, bi = dbl(lr), dbl(gt), dbl(bi)
+
+    # === G forward (once; reused by D phase and G losses) ===
+    out, g_vjp = jax.vjp(
+        lambda pg: forward_sequence(pg, lr, cfg_g), state["g"])
+    hr = out["hr_data"]
+    hr_sg = jax.lax.stop_gradient(hr)
+
+    flow_merge = build_flow_merge(
+        jax.lax.stop_gradient(out["hr_flow"]), lr,
+        jax.lax.stop_gradient(state["g"]["fnet"]), cfg_d, use_pp)
+    ctx = {
+        "lr_data": lr,
+        "bi_data": bi,
+        "hr_flow": None,  # flow_merge provided directly
+        "use_pp": use_pp,
+        "crop_border_ratio": tcfg.crop_border_ratio,
+        "fnet_params": None,
+        "flow_merge": flow_merge,
+    }
+
+    # === D phase: real & fake forwards with the current D ===
+    real_logits, real_feats, _, pd1 = stnet_apply(
+        state["d"], gt, ctx, cfg_d, train=True)
+    fake_logits, _, _, pd2 = stnet_apply(pd1, hr_sg, ctx, cfg_d, train=True)
+
+    # adaptive update vote: global means -> identical verdict on every replica
+    logged_real = jnp.mean(jnp.log(jax.nn.sigmoid(real_logits) + 1e-8))
+    logged_fake = jnp.mean(jnp.log(jax.nn.sigmoid(fake_logits) + 1e-8))
+    distance = logged_real - logged_fake
+    if tcfg.update_policy == "adaptive":
+        upd_d = distance < tcfg.update_threshold
+    else:
+        upd_d = jnp.asarray(True)
+
+    def d_loss_fn(pd):
+        rl, _, _, _ = stnet_apply(pd, gt, ctx, cfg_d, train=True)
+        fl, _, _, _ = stnet_apply(pd, hr_sg, ctx, cfg_d, train=True)
+        return gan_crit(rl, True) + gan_crit(fl, False)
+
+    def do_update(operand):
+        pd, opt_d = operand
+        loss_d, grads_d = jax.value_and_grad(d_loss_fn)(pd)
+        updates, new_opt_d = tx_d.update(grads_d, opt_d, pd)
+        new_pd = jax.tree.map(lambda p, u: p + u, pd, updates)
+        return new_pd, new_opt_d, loss_d
+
+    def skip_update(operand):
+        pd, opt_d = operand
+        return pd, opt_d, jnp.zeros((), pd["dense"]["w"].dtype)
+
+    new_d, new_opt_d, loss_d = jax.lax.cond(
+        upd_d, do_update, skip_update, (state["d"], state["opt_d"]))
+    cnt_upd = state["cnt_upd_d"] + upd_d.astype(jnp.float32)
+
+    # carry BN running stats from the real+fake forwards into the updated D
+    # (torch updates them in-place during those forwards)
+    new_d = _merge_bn_stats(new_d, pd2)
+
+    # === G phase: losses against the UPDATED discriminator ===
+    def g_loss_fn(g_out, pd):
+        hr_g = g_out["hr_data"]
+        logs = {}
+        loss = 0.0
+        if pix_crit is not None:
+            l_pix = tcfg.pixel_crit.get("weight", 1) * pix_crit(hr_g, gt)
+            loss += l_pix
+            logs["l_pix_G"] = l_pix
+        if warp_crit is not None:
+            l_warp = tcfg.warping_crit.get("weight", 1) * _warp_loss(
+                warp_crit, g_out)
+            loss += l_warp
+            logs["l_warp_G"] = l_warp
+        if feat_crit is not None:
+            layers = tuple(tcfg.feature_crit.get(
+                "feature_layers", [8, 17, 26, 35]))
+            t_all = hr_g.shape[1]
+            hr_m = hr_g.reshape(n * t_all, gh, gw, c)
+            gt_m = gt.reshape(n * t_all, gh, gw, c)
+            hr_f = vgg19_features(vgg_params, hr_m, layers)
+            gt_f = vgg19_features(vgg_params, gt_m, layers)
+            l_feat = sum(
+                feat_crit(hf, jax.lax.stop_gradient(gf))
+                for hf, gf in zip(hr_f, gt_f))
+            l_feat = tcfg.feature_crit.get("weight", 1) * l_feat
+            loss += l_feat
+            logs["l_feat_G"] = l_feat
+        if pp_crit is not None:
+            te = tcfg.tempo_extent
+            hr_fw = hr_g[:, :te - 1]
+            hr_bw = hr_g[:, te:][:, ::-1]
+            l_pp = tcfg.pingpong_crit.get("weight", 1) * pp_crit(hr_fw, hr_bw)
+            loss += l_pp
+            logs["l_pp_G"] = l_pp
+        # fresh D forward on non-detached hr (updates BN stats a 3rd time)
+        fake_g_logits, fake_g_feats, _, pd3 = stnet_apply(
+            pd, hr_g, ctx, cfg_d, train=True)
+        if fm_crit is not None:
+            layer_norm = tcfg.feature_matching_crit.get(
+                "layer_norm", [12.0, 14.0, 24.0, 100.0])
+            l_fm = sum(
+                fm_crit(ff, jax.lax.stop_gradient(rf)) / ln
+                for ff, rf, ln in zip(fake_g_feats, real_feats, layer_norm))
+            l_fm = tcfg.feature_matching_crit.get("weight", 1) * l_fm
+            loss += l_fm
+            logs["l_fm_G"] = l_fm
+        l_gan = tcfg.gan_crit.get("weight", 1) * gan_crit(fake_g_logits, True)
+        loss += l_gan
+        logs["l_gan_G"] = l_gan
+        logs["p_fake_G"] = jnp.mean(fake_g_logits)
+        return loss, (logs, pd3)
+
+    # grads wrt the generator OUTPUT pytree, pulled back through the vjp
+    (_, (g_logs, pd3)), out_grads = jax.value_and_grad(
+        g_loss_fn, has_aux=True)(out, new_d)
+    grads_g = g_vjp(out_grads)[0]
+    updates_g, new_opt_g = tx_g.update(grads_g, state["opt_g"], state["g"])
+    new_g = jax.tree.map(lambda p, u: p + u, state["g"], updates_g)
+    new_d = _merge_bn_stats(new_d, pd3)
+
+    logs = {
+        "l_gan_D": loss_d,
+        "p_real_D": jnp.mean(real_logits),
+        "p_fake_D": jnp.mean(fake_logits),
+        "distance": distance,
+        "n_upd_D": cnt_upd,
+        **g_logs,
+    }
+    # pad missing keys so the log pytree structure is static
+    for k in TECOGAN_LOG_KEYS:
+        logs.setdefault(k, jnp.zeros((), jnp.float32))
+
+    step = state["step"]
+    new_state = {
+        "g": new_g,
+        "d": new_d,
+        "opt_g": new_opt_g,
+        "opt_d": new_opt_d,
+        "step": step + 1,
+        "cnt_upd_d": cnt_upd,
+        "running_log": _ema_update(state["running_log"], logs, log_decay,
+                                   step),
+    }
+    return new_state, logs
+
+
+def _merge_bn_stats(params_d, stats_src):
+    """Copy BatchNorm running statistics from ``stats_src`` into params_d."""
+    new = dict(params_d)
+    for k in params_d:
+        if k.startswith("block"):
+            blk = dict(params_d[k])
+            bn = dict(blk["bn"])
+            bn["mean"] = stats_src[k]["bn"]["mean"]
+            bn["var"] = stats_src[k]["bn"]["var"]
+            blk["bn"] = bn
+            new[k] = blk
+    return new
+
+
+def tecogan_init_state(params_g, params_d, tx_g, tx_d):
+    return {
+        "g": params_g,
+        "d": params_d,
+        "opt_g": tx_g.init(params_g),
+        "opt_d": tx_d.init(params_d),
+        "step": jnp.zeros((), jnp.int32),
+        "cnt_upd_d": jnp.zeros((), jnp.float32),
+        "running_log": {k: jnp.zeros((), jnp.float32) for k in
+                        TECOGAN_LOG_KEYS},
+    }

@@ -1,0 +1,84 @@
+"""VSRModel — FRVSR trainer/inferencer (objective VSR).
+
+Counterpart of the reference's VSRModel (`codes/models/vsr_model.py:12-117`):
+generator-only training with pixel + warping losses, streaming inference.
+The train step is one jitted function over the dp mesh (donated state).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import BaseVSRModel
+from .networks import define_generator, infer_sequence, init_frnet
+from .schedules import make_adam
+from .steps import frvsr_init_state, frvsr_train_step, make_train_config
+from ..utils import ckpt as ckpt_io
+from ..utils.logging_utils import log_info
+
+
+class VSRModel(BaseVSRModel):
+    def __init__(self, opt, mesh=None):
+        super().__init__(opt, mesh)
+        self.cfg_g, init_fn = define_generator(opt)
+
+        seed = opt.get("manual_seed", 2021)
+        params = init_fn(jax.random.PRNGKey(seed))
+
+        load_path = opt["model"]["generator"].get("load_path")
+        if load_path:
+            params = jax.tree.map(
+                lambda ref, x: jnp.asarray(x, jnp.float32), params,
+                ckpt_io.load_generator_params(
+                    load_path, self.cfg_g.nb, self.cfg_g.scale))
+            log_info(f"Load generator from: {load_path}")
+
+        if self.is_train:
+            self.tcfg = make_train_config(opt)
+            self.tx_g, self.sched_g = make_adam(opt["train"]["generator"])
+            state = frvsr_init_state(params, self.tx_g)
+            self.state = self.replicate(state)
+            self._train_step = jax.jit(
+                functools.partial(
+                    frvsr_train_step, cfg_g=self.cfg_g, tcfg=self.tcfg,
+                    tx_g=self.tx_g, log_decay=self.log_decay),
+                donate_argnums=(0,))
+        else:
+            self.state = {"g": self.replicate(params)}
+
+    # ------------------------------------------------------------------ train
+    def train(self, batch):
+        """One optimisation step on a device batch; returns the log dict."""
+        self.state, logs = self._train_step(self.state, batch)
+        return logs
+
+    def get_learning_rate(self, state):
+        step = int(jax.device_get(state["step"]))
+        return {"lr_G": float(self.sched_g(step))}
+
+    # ------------------------------------------------------------------ infer
+    def infer(self, lr_data: np.ndarray, chunk: int = 16) -> np.ndarray:
+        """LR sequence (t, h, w, c) float32 -> SR uint8 (t, sh, sw, c).
+
+        Front-pads the sequence to warm up the recurrent state, then trims
+        (`vsr_model.py:97-113`).
+        """
+        lr_data, n_pad = self.pad_sequence(lr_data)
+        key = (lr_data.shape, chunk)
+        if key not in self._infer_fn_cache:
+            self._infer_fn_cache[key] = jax.jit(
+                functools.partial(infer_sequence, cfg=self.cfg_g, chunk=chunk))
+        hr = self._infer_fn_cache[key](self.state["g"], jnp.asarray(lr_data))
+        return np.asarray(hr[n_pad:])
+
+    # ------------------------------------------------------------------- save
+    def save(self, current_iter):
+        params = jax.device_get(self.state["g"])
+        self.save_pytree(params, f"G_iter{current_iter}.npz")
+
+    def save_training_state_now(self, current_iter):
+        self.save_training_state(self.state, current_iter)

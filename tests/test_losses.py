@@ -1,0 +1,89 @@
+"""Loss & LR-schedule parity vs torch."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from tecogan_tpu.models.losses import (
+    charbonnier,
+    cosine_similarity_loss,
+    lsgan_loss,
+    vanilla_gan_loss,
+)
+from tecogan_tpu.models.schedules import define_lr_schedule
+
+
+def test_charbonnier_matches_reference_semantics(rng):
+    x = rng.standard_normal((2, 5, 5, 3)).astype(np.float32)
+    y = rng.standard_normal((2, 5, 5, 3)).astype(np.float32)
+    for red, fn in [("mean", np.mean), ("sum", np.sum)]:
+        got = float(charbonnier(jnp.asarray(x), jnp.asarray(y),
+                                reduction=red))
+        want = fn(np.sqrt((x - y) ** 2 + 1e-6))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_cosine_similarity_loss_matches_torch(rng):
+    x = rng.standard_normal((2, 4, 4, 8)).astype(np.float32)
+    y = rng.standard_normal((2, 4, 4, 8)).astype(np.float32)
+    got = float(cosine_similarity_loss(jnp.asarray(x), jnp.asarray(y)))
+    # torch: cosine_similarity over channel dim of NCHW
+    xt = torch.from_numpy(np.moveaxis(x, -1, 1))
+    yt = torch.from_numpy(np.moveaxis(y, -1, 1))
+    want = float(1.0 - F.cosine_similarity(xt, yt, dim=1, eps=1e-8).mean())
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_gan_losses_match_torch(rng):
+    logits = rng.standard_normal((6, 1)).astype(np.float32) * 3
+    lt = torch.from_numpy(logits)
+    for is_real in (True, False):
+        got = float(vanilla_gan_loss(jnp.asarray(logits), is_real))
+        want = float(F.binary_cross_entropy_with_logits(
+            lt, torch.full_like(lt, float(is_real))))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+        got = float(lsgan_loss(jnp.asarray(logits), is_real))
+        want = float(F.mse_loss(lt, torch.full_like(lt, float(is_real))))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_multistep_schedule_matches_torch():
+    base = 1e-4
+    sched = define_lr_schedule(
+        {"type": "MultiStepLR", "milestones": [5, 8], "gamma": 0.5}, base)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=base)
+    tsched = torch.optim.lr_scheduler.MultiStepLR(opt, [5, 8], 0.5)
+    for step in range(12):
+        # torch scheduler is stepped after each iteration; compare the lr
+        # used AT `step`
+        np.testing.assert_allclose(
+            float(sched(step)), opt.param_groups[0]["lr"], rtol=1e-8)
+        opt.step()
+        tsched.step()
+
+
+def test_cosine_restart_schedule_matches_reference_formula():
+    import math
+
+    base, eta_min = 1e-4, 1e-7
+    periods = [10, 10]
+    weights = [1.0, 0.5]
+    sched = define_lr_schedule(
+        {"type": "CosineAnnealingRestartLR", "periods": periods,
+         "restart_weights": weights, "eta_min": eta_min}, base)
+    cum = [10, 20]
+    for step in range(20):
+        idx = next(i for i, p in enumerate(cum) if step <= p)
+        start = 0 if idx == 0 else cum[idx - 1]
+        want = eta_min + weights[idx] * 0.5 * (base - eta_min) * (
+            1 + math.cos(math.pi * (step - start) / periods[idx]))
+        np.testing.assert_allclose(float(sched(step)), want, rtol=1e-6)
+
+
+def test_fixed_schedule():
+    sched = define_lr_schedule({"type": "FixedLR"}, 5e-5)
+    assert float(sched(0)) == float(sched(100000)) == 5e-5

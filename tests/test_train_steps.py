@@ -1,0 +1,129 @@
+"""Training-step tests on the virtual 8-device CPU mesh: the full FRVSR and
+TecoGAN jitted steps run sharded, produce finite losses and update params."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tecogan_tpu.models.networks import (
+    FRNetConfig, STNetConfig, init_frnet, init_stnet, init_vgg19)
+from tecogan_tpu.models.schedules import make_adam
+from tecogan_tpu.models.steps import (
+    TrainConfig,
+    frvsr_init_state,
+    frvsr_train_step,
+    prepare_bd_batch,
+    tecogan_init_state,
+    tecogan_train_step,
+)
+from tecogan_tpu.parallel import batch_sharding, get_mesh, replicated
+
+
+CFG_G = FRNetConfig(nf=8, nb=2, scale=4, degradation="BD")
+CFG_D = STNetConfig(spatial_size=32, degradation="BD", scale=4)
+
+TCFG = TrainConfig(
+    scale=4, degradation="BD", sigma=1.5, tempo_extent=3,
+    pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},
+    warping_crit={"type": "CB", "weight": 1, "reduction": "mean"},
+    feature_crit={"type": "CosineSimilarity", "weight": 0.2,
+                  "feature_layers": [8, 17]},
+    pingpong_crit={"type": "CB", "weight": 0.5, "reduction": "mean"},
+    gan_crit={"type": "GAN", "weight": 0.01, "reduction": "mean"},
+    update_policy="adaptive", update_threshold=0.4, crop_border_ratio=0.75,
+)
+
+
+def _leaf_delta(a, b):
+    return max(float(jnp.abs(x - y).max())
+               for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+def test_prepare_bd_batch_shapes(rng):
+    gt = jnp.asarray(rng.random((2, 3, 40, 40, 3)), jnp.float32)
+    gt_c, lr = prepare_bd_batch(gt, scale=4, sigma=1.5)
+    assert lr.shape == (2, 3, 8, 8, 3)
+    assert gt_c.shape == (2, 3, 32, 32, 3)
+
+
+def test_frvsr_step_on_mesh(rng):
+    mesh = get_mesh()
+    assert mesh.devices.size == 8
+    tx_g, _ = make_adam({"lr": 1e-4, "betas": [0.9, 0.999]})
+    params = init_frnet(jax.random.PRNGKey(0), CFG_G)
+    state = jax.device_put(frvsr_init_state(params, tx_g), replicated(mesh))
+
+    step = jax.jit(functools.partial(
+        frvsr_train_step, cfg_g=CFG_G, tcfg=TCFG, tx_g=tx_g))
+    batch = {"gt": jax.device_put(
+        rng.random((8, 3, 40, 40, 3)).astype(np.float32),
+        batch_sharding(mesh))}
+
+    g0 = jax.device_get(state["g"])
+    state, logs = step(state, batch)
+    state, logs = step(state, batch)
+    assert np.isfinite(float(logs["l_pix_G"]))
+    assert np.isfinite(float(logs["l_warp_G"]))
+    assert int(state["step"]) == 2
+    assert _leaf_delta(g0, jax.device_get(state["g"])) > 0
+    # EMA log present and finite
+    assert np.isfinite(float(state["running_log"]["l_pix_G"]))
+
+
+@pytest.mark.parametrize("policy", ["adaptive", "always"])
+def test_tecogan_step_on_mesh(rng, policy):
+    mesh = get_mesh()
+    tcfg = TCFG._replace(update_policy=policy)
+    tx_g, _ = make_adam({"lr": 5e-5})
+    tx_d, _ = make_adam({"lr": 5e-5})
+    pg = init_frnet(jax.random.PRNGKey(0), CFG_G)
+    pd = init_stnet(jax.random.PRNGKey(1), CFG_D)
+    vgg = init_vgg19(jax.random.PRNGKey(2))
+    state = jax.device_put(
+        tecogan_init_state(pg, pd, tx_g, tx_d), replicated(mesh))
+    vgg = jax.device_put(vgg, replicated(mesh))
+
+    step = jax.jit(functools.partial(
+        tecogan_train_step, cfg_g=CFG_G, cfg_d=CFG_D, tcfg=tcfg,
+        tx_g=tx_g, tx_d=tx_d))
+    batch = {"gt": jax.device_put(
+        rng.random((8, 3, 40, 40, 3)).astype(np.float32),
+        batch_sharding(mesh))}
+
+    g0, d0 = jax.device_get((state["g"], state["d"]))
+    state, logs = step(state, batch, vgg_params=vgg)
+    for k in ("l_pix_G", "l_warp_G", "l_feat_G", "l_pp_G", "l_gan_G",
+              "l_gan_D", "p_real_D", "p_fake_D", "distance"):
+        assert np.isfinite(float(logs[k])), k
+    assert float(logs["n_upd_D"]) in (0.0, 1.0)
+    if policy == "always":
+        assert float(logs["n_upd_D"]) == 1.0
+        assert _leaf_delta(d0, jax.device_get(state["d"])) > 0
+    assert _leaf_delta(g0, jax.device_get(state["g"])) > 0
+    assert int(state["step"]) == 1
+
+
+def test_tecogan_d_update_follows_vote(rng):
+    """With a huge threshold the adaptive policy must always update."""
+    mesh = get_mesh()
+    tcfg = TCFG._replace(update_threshold=1e9)
+    tx_g, _ = make_adam({"lr": 5e-5})
+    tx_d, _ = make_adam({"lr": 5e-5})
+    pg = init_frnet(jax.random.PRNGKey(0), CFG_G)
+    pd = init_stnet(jax.random.PRNGKey(1), CFG_D)
+    vgg = init_vgg19(jax.random.PRNGKey(2))
+    state = jax.device_put(
+        tecogan_init_state(pg, pd, tx_g, tx_d), replicated(mesh))
+    step = jax.jit(functools.partial(
+        tecogan_train_step, cfg_g=CFG_G, cfg_d=CFG_D, tcfg=tcfg,
+        tx_g=tx_g, tx_d=tx_d))
+    batch = {"gt": jax.device_put(
+        rng.random((8, 3, 40, 40, 3)).astype(np.float32),
+        batch_sharding(mesh))}
+    state, logs = step(state, batch, vgg_params=vgg)
+    assert float(logs["n_upd_D"]) == 1.0
+    assert float(logs["l_gan_D"]) > 0.0
