@@ -1,0 +1,81 @@
+"""Loader factory (reference contract: `codes/data/__init__.py:11-95`)."""
+
+from .datasets import (
+    PairedClipDataset,
+    PairedFolderDataset,
+    UnpairedClipDataset,
+    UnpairedFolderDataset,
+)
+from .loader import TrainLoader
+from .records import RecordStore, RecordWriter, open_store
+
+__all__ = [
+    "create_dataloader",
+    "create_test_dataset",
+    "TrainLoader",
+    "PairedClipDataset",
+    "PairedFolderDataset",
+    "UnpairedClipDataset",
+    "UnpairedFolderDataset",
+    "RecordStore",
+    "RecordWriter",
+    "open_store",
+]
+
+
+def create_dataloader(opt, phase: str, idx: str, n_devices: int = 1):
+    """Build a loader/dataset per the YAML dataset block.
+
+    For training returns a TrainLoader producing the GLOBAL batch
+    (batch_size_per_gpu * n_devices, matching the reference's per-GPU
+    batching under DDP).
+    """
+    data_opt = opt["dataset"][idx]
+    degradation = opt["dataset"]["degradation"]["type"]
+
+    if phase == "train":
+        common = dict(
+            tempo_extent=opt["train"]["tempo_extent"],
+            moving_first_frame=opt["train"].get("moving_first_frame", False),
+            moving_factor=opt["train"].get("moving_factor", 1.0),
+            filter_file=data_opt.get("filter_file"),
+        )
+        if degradation == "BI":
+            dataset = PairedClipDataset(
+                data_opt["gt_seq_dir"], data_opt["lr_seq_dir"],
+                scale=opt["scale"], gt_crop_size=data_opt["gt_crop_size"],
+                **common)
+        elif degradation == "BD":
+            sigma = opt["dataset"]["degradation"]["sigma"]
+            enlarged = data_opt["crop_size"] + 2 * int(sigma * 3.0)
+            dataset = UnpairedClipDataset(
+                data_opt["seq_dir"], crop_size=enlarged, **common)
+        else:
+            raise ValueError(f"Unrecognized degradation type: {degradation}")
+
+        return TrainLoader(
+            dataset,
+            batch_size=data_opt["batch_size_per_gpu"] * n_devices,
+            seed=opt.get("manual_seed", 2021),
+            num_workers=data_opt.get("num_worker_per_gpu", 3) * n_devices,
+        )
+
+    if phase == "test":
+        return create_test_dataset(opt, idx)
+
+    raise ValueError(f"Unrecognized phase: {phase}")
+
+
+def create_test_dataset(opt, idx: str):
+    data_opt = opt["dataset"][idx]
+    degradation = opt["dataset"]["degradation"]["type"]
+    if data_opt.get("lr_seq_dir"):
+        return PairedFolderDataset(
+            data_opt["gt_seq_dir"], data_opt["lr_seq_dir"],
+            filter_file=data_opt.get("filter_file"),
+            filter_list=data_opt.get("filter_list"))
+    assert degradation == "BD", '"lr_seq_dir" is required for BI mode'
+    return UnpairedFolderDataset(
+        data_opt["gt_seq_dir"],
+        filter_file=data_opt.get("filter_file"),
+        filter_list=data_opt.get("filter_list"))

@@ -1,0 +1,279 @@
+"""Datasets: training clip samplers and test folder readers (NHWC numpy).
+
+Behavioural spec from `codes/data/*.py` with these intentional layout
+differences: everything is (t, h, w, c) float32/uint8 numpy (TPU-friendly,
+no NCHW transposes), and randomness flows through an explicit
+``np.random.Generator`` so distributed sampling is reproducible.
+
+Sampling semantics preserved from the reference:
+- a sample per *frame key*; a clip of ``tempo_extent`` frames starts at that
+  frame, reflecting at the sequence end ((0,1,2) -> (0,1,2,1,0);
+  `unpaired_lmdb_dataset.py:70-75`).
+- "moving first frame" augmentation: with probability (1 - moving_factor),
+  synthesize a clip by random-walking a crop window over the FIRST frame
+  (offsets ~ floor(U[-3.5, 4.5)); `unpaired_lmdb_dataset.py:47-65`; the
+  paired variant walks in LR units with U[-1.5, 1.5),
+  `paired_lmdb_dataset.py:72-92`).
+- augmentation: random spatial flip, optional temporal flip (unpaired only),
+  random 90-degree rotations (`unpaired_lmdb_dataset.py:109-125`).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import cv2
+import numpy as np
+
+from .records import open_store, parse_key, make_key
+from ..utils.paths import retrieve_files
+
+__all__ = [
+    "UnpairedClipDataset",
+    "PairedClipDataset",
+    "PairedFolderDataset",
+    "UnpairedFolderDataset",
+]
+
+
+def _filter_keys(keys, filter_file, parse=lambda k: parse_key(k)[0]):
+    if not filter_file:
+        return keys
+    with open(filter_file) as f:
+        sel = {line.strip() for line in f if line.strip()}
+    return [k for k in keys if parse(k) in sel]
+
+
+def _clip_keys(key, tempo_extent):
+    vid, (tot, h, w), cur = parse_key(key)
+    idxs = []
+    for i in range(cur, cur + tempo_extent):
+        idxs.append(2 * tot - i - 2 if i >= tot else i)
+    return [make_key(vid, tot, h, w, i) for i in idxs], (tot, h, w)
+
+
+def _random_walk(rng, t, lo, hi):
+    offsets = np.floor(rng.uniform(lo, hi, size=(t, 2))).astype(np.int32)
+    pos = np.cumsum(offsets, axis=0)
+    pos -= pos.min(axis=0)
+    return pos, pos.max(axis=0)
+
+
+class UnpairedClipDataset:
+    """GT-only clips for BD training (reference UnpairedLMDBDataset)."""
+
+    def __init__(self, seq_dir, crop_size, tempo_extent,
+                 moving_first_frame=False, moving_factor=1.0,
+                 filter_file=None, data_type="rgb"):
+        self.store = open_store(seq_dir)
+        self.keys = _filter_keys(self.store.keys, filter_file)
+        self.crop_size = crop_size
+        self.tempo_extent = tempo_extent
+        self.moving_first_frame = moving_first_frame
+        self.moving_factor = moving_factor
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, item_rng):
+        item, rng = item_rng
+        key = self.keys[item]
+        t = self.tempo_extent
+
+        if self.moving_first_frame and rng.uniform() > self.moving_factor:
+            frm = self.store.get(key)  # (h, w, c)
+            h, w = frm.shape[:2]
+            pos, rang = _random_walk(rng, t, -3.5, 4.5)
+            ch, cw = h - rang[0], w - rang[1]
+            frms = np.stack([
+                frm[top:top + ch, left:left + cw] for top, left in pos])
+        else:
+            keys, _ = _clip_keys(key, t)
+            frms = np.stack([self.store.get(k) for k in keys])
+
+        pats = self._crop(frms, rng)
+        pats = self._augment(pats, rng)
+        return {"gt": np.ascontiguousarray(pats, np.float32) / 255.0}
+
+    def _crop(self, frms, rng):
+        csz = self.crop_size
+        h, w = frms.shape[1:3]
+        assert csz <= h and csz <= w, f"crop {csz} > image {h}x{w}"
+        top = rng.integers(0, h - csz + 1)
+        left = rng.integers(0, w - csz + 1)
+        return frms[:, top:top + csz, left:left + csz]
+
+    @staticmethod
+    def _augment(pats, rng):
+        # spatial flip on h or w (or none), temporal flip, k*90 rotation
+        axis = rng.integers(1, 4)  # 1: none, 2: h, 3: w  (thwc axes 1/2)
+        if axis > 1:
+            pats = np.flip(pats, axis - 1)
+        if rng.integers(0, 2) == 0:
+            pats = np.flip(pats, 0)
+        k = rng.integers(0, 4)
+        pats = np.rot90(pats, k, (1, 2))
+        return pats
+
+
+class PairedClipDataset:
+    """GT+LR clips for BI training (reference PairedLMDBDataset)."""
+
+    def __init__(self, gt_seq_dir, lr_seq_dir, scale, gt_crop_size,
+                 tempo_extent, moving_first_frame=False, moving_factor=1.0,
+                 filter_file=None, data_type="rgb"):
+        self.gt_store = open_store(gt_seq_dir)
+        self.lr_store = open_store(lr_seq_dir)
+        gt_keys = _filter_keys(self.gt_store.keys, filter_file)
+        lr_keys = _filter_keys(self.lr_store.keys, filter_file)
+        self._check(gt_keys, lr_keys, scale)
+        self.pairs = list(zip(gt_keys, lr_keys))
+        self.scale = scale
+        self.gt_crop_size = gt_crop_size
+        self.tempo_extent = tempo_extent
+        self.moving_first_frame = moving_first_frame
+        self.moving_factor = moving_factor
+
+    @staticmethod
+    def _check(gt_keys, lr_keys, s):
+        if len(gt_keys) != len(lr_keys):
+            raise ValueError(
+                f"GT/LR key count mismatch: {len(gt_keys)} vs {len(lr_keys)}")
+        for gk, lk in zip(gt_keys, lr_keys):
+            gv, (gt, gh, gw), gi = parse_key(gk)
+            lv, (lt, lh, lw), li = parse_key(lk)
+            if gv != lv or gi != li or gt != lt:
+                raise ValueError(f"GT/LR key mismatch: {gk} vs {lk}")
+            if gh != lh * s or gw != lw * s:
+                raise ValueError(f"GT/LR size mismatch: {gk} vs {lk}")
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, item_rng):
+        item, rng = item_rng
+        gt_key, lr_key = self.pairs[item]
+        t, s = self.tempo_extent, self.scale
+
+        if self.moving_first_frame and rng.uniform() > self.moving_factor:
+            gt_frm = self.gt_store.get(gt_key)
+            lr_frm = self.lr_store.get(lr_key)
+            lh, lw = lr_frm.shape[:2]
+            pos, rang = _random_walk(rng, t, -1.5, 1.5)
+            ch, cw = lh - rang[0], lw - rang[1]
+            lr_frms = np.stack([
+                lr_frm[top:top + ch, left:left + cw] for top, left in pos])
+            gt_frms = np.stack([
+                gt_frm[top * s:(top + ch) * s, left * s:(left + cw) * s]
+                for top, left in pos])
+        else:
+            gks, _ = _clip_keys(gt_key, t)
+            lks, _ = _clip_keys(lr_key, t)
+            gt_frms = np.stack([self.gt_store.get(k) for k in gks])
+            lr_frms = np.stack([self.lr_store.get(k) for k in lks])
+
+        gt_pats, lr_pats = self._paired_crop(gt_frms, lr_frms, rng)
+        gt_pats, lr_pats = self._paired_augment(gt_pats, lr_pats, rng)
+        return {
+            "gt": np.ascontiguousarray(gt_pats, np.float32) / 255.0,
+            "lr": np.ascontiguousarray(lr_pats, np.float32) / 255.0,
+        }
+
+    def _paired_crop(self, gt_frms, lr_frms, rng):
+        s = self.scale
+        gcsz = self.gt_crop_size
+        lcsz = gcsz // s
+        lh, lw = lr_frms.shape[1:3]
+        assert lcsz <= lh and lcsz <= lw
+        top = rng.integers(0, lh - lcsz + 1)
+        left = rng.integers(0, lw - lcsz + 1)
+        lr_pats = lr_frms[:, top:top + lcsz, left:left + lcsz]
+        gt_pats = gt_frms[:, top * s:top * s + gcsz,
+                          left * s:left * s + gcsz]
+        return gt_pats, lr_pats
+
+    @staticmethod
+    def _paired_augment(gt, lr, rng):
+        # spatial flip + rotation only (no temporal flip for paired data)
+        axis = rng.integers(1, 4)
+        if axis > 1:
+            gt = np.flip(gt, axis - 1)
+            lr = np.flip(lr, axis - 1)
+        k = rng.integers(0, 4)
+        gt = np.rot90(gt, k, (1, 2))
+        lr = np.rot90(lr, k, (1, 2))
+        return gt, lr
+
+
+# --------------------------------------------------------------------------
+# test-time folder datasets
+# --------------------------------------------------------------------------
+
+def _select_keys(root, filter_file=None, filter_list=None):
+    keys = sorted(os.listdir(root))
+    sel = set(keys)
+    if filter_file:
+        with open(filter_file) as f:
+            sel = {line.strip() for line in f if line.strip()}
+    elif filter_list:
+        sel = set(filter_list)
+    return sorted(sel & set(keys))
+
+
+def _read_seq(seq_dir, as_float):
+    frames = []
+    for p in retrieve_files(seq_dir):
+        img = cv2.imread(p)[..., ::-1]  # BGR -> RGB
+        frames.append(img)
+    seq = np.stack(frames)
+    if as_float:
+        seq = seq.astype(np.float32) / 255.0
+    return seq
+
+
+class PairedFolderDataset:
+    """Whole GT+LR sequences from PNG folders (reference counterpart:
+    `paired_folder_dataset.py:12-63`). gt uint8, lr float32, both thwc."""
+
+    def __init__(self, gt_seq_dir, lr_seq_dir, filter_file=None,
+                 filter_list=None, **_):
+        self.gt_seq_dir = gt_seq_dir
+        self.lr_seq_dir = lr_seq_dir
+        gt_keys = set(os.listdir(gt_seq_dir))
+        lr_keys = set(os.listdir(lr_seq_dir))
+        self.keys = sorted(
+            set(_select_keys(gt_seq_dir, filter_file, filter_list))
+            & gt_keys & lr_keys)
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, item):
+        key = self.keys[item]
+        return {
+            "gt": _read_seq(osp.join(self.gt_seq_dir, key), as_float=False),
+            "lr": _read_seq(osp.join(self.lr_seq_dir, key), as_float=True),
+            "seq_idx": key,
+            "frm_idx": sorted(os.listdir(osp.join(self.gt_seq_dir, key))),
+        }
+
+
+class UnpairedFolderDataset:
+    """GT-only sequences; LR generated downstream by on-the-fly BD
+    (`unpaired_folder_dataset.py:12-52`)."""
+
+    def __init__(self, gt_seq_dir, filter_file=None, filter_list=None, **_):
+        self.gt_seq_dir = gt_seq_dir
+        self.keys = _select_keys(gt_seq_dir, filter_file, filter_list)
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, item):
+        key = self.keys[item]
+        return {
+            "gt": _read_seq(osp.join(self.gt_seq_dir, key), as_float=False),
+            "seq_idx": key,
+            "frm_idx": sorted(os.listdir(osp.join(self.gt_seq_dir, key))),
+        }

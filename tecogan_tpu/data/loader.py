@@ -1,0 +1,88 @@
+"""Training loader: epoch-shuffled, thread-prefetched host batching.
+
+Replaces torch's DataLoader + DistributedSampler (`codes/data/__init__.py`)
+with a single-controller design: ONE loader produces the GLOBAL batch (all
+replicas' samples), which the model shards over the mesh's dp axis in one
+device_put. Worker threads decode/augment clips ahead of time; a bounded
+queue keeps a configurable number of ready batches so the TPU never waits
+on the host (SURVEY §7 hard-part 8).
+
+Determinism: sample i of epoch e uses np.random.Generator seeded with
+(seed, e, i) — the stream is independent of worker count and scheduling.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+__all__ = ["TrainLoader"]
+
+
+class TrainLoader:
+    def __init__(self, dataset, batch_size: int, seed: int = 0,
+                 num_workers: int = 4, prefetch: int = 4, drop_last=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch_idx: int):
+        """Iterate batches for one epoch (dicts of stacked arrays)."""
+        n = len(self.dataset)
+        order = np.random.default_rng((self.seed, epoch_idx)).permutation(n)
+        n_batches = len(self)
+        batch_idx = [
+            order[i * self.batch_size:(i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def sample(i):
+            rng = np.random.default_rng((self.seed, epoch_idx, int(i)))
+            return self.dataset[(int(i), rng)]
+
+        def producer():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batch_idx:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(sample, idxs))
+                        batch = {
+                            k: np.stack([s[k] for s in samples])
+                            for k in samples[0]
+                        }
+                        out_q.put(batch)
+            except Exception as e:  # surface worker errors to the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    def __iter__(self):
+        return self.epoch(0)

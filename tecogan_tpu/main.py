@@ -1,0 +1,193 @@
+"""Entry driver: train / test / profile (reference contract: `codes/main.py`).
+
+Single-controller JAX replaces torch.distributed.launch: one process drives
+the whole mesh; batches are global and sharded over devices. The train loop,
+validation sub-loop, logging cadence, checkpoint cadence and result layout
+mirror the reference so existing experiment YAMLs and tooling work.
+"""
+
+from __future__ import annotations
+
+import math
+import os.path as osp
+import time
+
+import numpy as np
+
+from .data import create_dataloader, create_test_dataset
+from .metrics import create_metric_calculator, profile_frnet, count_params
+from .models import define_model
+from .ops import save_sequence
+from .utils import config as config_utils
+from .utils import paths as path_utils
+from .utils.logging_utils import log_info, print_options, setup_logger
+
+
+def _run_test_sets(opt, model, model_idx):
+    """Shared by test mode and in-training validation."""
+    for dataset_idx in sorted(opt["dataset"].keys()):
+        if "test" not in dataset_idx:
+            continue
+        ds_name = opt["dataset"][dataset_idx]["name"]
+        log_info(f"Testing on {ds_name} dataset")
+
+        test_dataset = create_test_dataset(opt, dataset_idx)
+        metric_calculator = create_metric_calculator(opt)
+
+        for idx in range(len(test_dataset)):
+            data = test_dataset[idx]
+            lr_data = model.prepare_inference_data(data)
+            hr_seq = model.infer(lr_data)
+
+            if opt["test"]["save_res"]:
+                res_dir = osp.join(opt["test"]["res_dir"], ds_name, model_idx)
+                save_sequence(
+                    osp.join(res_dir, data["seq_idx"]), hr_seq,
+                    data["frm_idx"], to_bgr=True)
+
+            if metric_calculator is not None:
+                metric_calculator.compute_sequence_metrics(
+                    data["seq_idx"], np.asarray(data["gt"]), hr_seq)
+
+        if metric_calculator is not None:
+            metric_calculator.gather(list(metric_calculator.metric_dict))
+            if opt["test"].get("save_json"):
+                json_path = osp.join(
+                    opt["test"]["json_dir"], f"{ds_name}_avg.json")
+                metric_calculator.save(model_idx, json_path, override=True)
+            else:
+                metric_calculator.display()
+
+
+def train(opt):
+    log_info(f'{20 * "-"} Configurations {20 * "-"}')
+    print_options(opt)
+
+    model = define_model(opt)
+    n_dev = model.mesh.devices.size
+    train_loader = create_dataloader(opt, "train", "train", n_devices=n_dev)
+
+    total_sample = len(train_loader.dataset)
+    iter_per_epoch = len(train_loader)
+    total_iter = opt["train"]["total_iter"]
+    total_epoch = int(math.ceil(total_iter / iter_per_epoch))
+    start_iter = opt["train"].get("start_iter", 0)
+    test_freq = opt["test"]["test_freq"]
+    log_freq = opt["logger"]["log_freq"]
+    ckpt_freq = opt["logger"]["ckpt_freq"]
+
+    log_info(f"Number of the training samples: {total_sample}")
+    log_info(f"{total_epoch} epochs needed for {total_iter} iterations")
+
+    # auto-resume if a state checkpoint exists
+    model.state, resumed = model.try_resume(model.state)
+    if resumed:
+        start_iter = int(np.asarray(model.state["step"]))
+
+    it = 0
+    for epoch in range(total_epoch):
+        for batch in train_loader.epoch(epoch):
+            it += 1
+            curr_iter = start_iter + it
+            if it > total_iter:
+                return
+
+            batch = model.prepare_training_data(batch)
+            model.train(batch)
+
+            if log_freq > 0 and curr_iter % log_freq == 0:
+                log_info(model.get_format_msg(model.state, epoch, curr_iter))
+
+            if ckpt_freq > 0 and curr_iter % ckpt_freq == 0:
+                model.save(curr_iter)
+                model.save_training_state(model.state, curr_iter)
+
+            if test_freq > 0 and curr_iter % test_freq == 0:
+                _run_test_sets(opt, model, f"G_iter{curr_iter}")
+
+
+def test(opt):
+    print_options(opt)
+    for load_path in opt["model"]["generator"]["load_path_lst"]:
+        model_idx = osp.splitext(osp.split(load_path)[-1])[0]
+        log_info("=" * 40)
+        log_info(f"Testing model: {model_idx}")
+        log_info("=" * 40)
+
+        opt["model"]["generator"]["load_path"] = load_path
+        model = define_model(opt)
+        _run_test_sets(opt, model, model_idx)
+        log_info("-" * 40)
+
+
+def profile(opt, lr_size: str, test_speed: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from .models.networks import define_generator, init_frnet, step
+
+    print_options(opt["model"]["generator"])
+    c, h, w = map(int, lr_size.split("x"))
+    scale = opt["scale"]
+    msg = "\n" + "*" * 40
+    msg += (f"\nResolution: {lr_size} -> "
+            f"{c}x{h * scale}x{w * scale} ({scale}x SR)")
+
+    cfg, init_fn = define_generator(opt)
+    params = init_fn(jax.random.PRNGKey(0))
+
+    gflops, params_cnt = profile_frnet(cfg, (c, h, w))
+    tot_g, tot_p = 0.0, 0
+    for name in gflops:
+        msg += f'\n{"-" * 40}\nModule: [{name}]'
+        msg += f"\n    FLOPs (10^9): {gflops[name]:.3f}"
+        msg += f"\n    Parameters (10^6): {params_cnt[name] / 1e6:.3f}"
+        tot_g += gflops[name]
+        tot_p += params_cnt[name]
+    msg += f'\n{"-" * 40}\nOverall'
+    msg += f"\n    FLOPs (10^9): {tot_g:.3f}"
+    msg += f"\n    Parameters (10^6): {tot_p / 1e6:.3f}\n" + "*" * 40
+
+    if test_speed:
+        import functools
+
+        step_fn = jax.jit(functools.partial(step, cfg=cfg))
+        key = jax.random.PRNGKey(1)
+        k1, k2, k3 = jax.random.split(key, 3)
+        lr_curr = jax.random.uniform(k1, (1, h, w, c), jnp.float32)
+        lr_prev = jax.random.uniform(k2, (1, h, w, c), jnp.float32)
+        hr_prev = jax.random.uniform(
+            k3, (1, scale * h, scale * w, c), jnp.float32)
+        # warmup / compile
+        step_fn(params, lr_curr, lr_prev, hr_prev).block_until_ready()
+        n_test = 30
+        t0 = time.time()
+        for _ in range(n_test):
+            out = step_fn(params, lr_curr, lr_prev, hr_prev)
+        out.block_until_ready()
+        dt = time.time() - t0
+        msg += (f"\nSpeed: {n_test / dt:.3f} FPS "
+                f"(averaged over {n_test} runs)\n" + "*" * 40)
+
+    log_info(msg)
+
+
+def main(argv=None):
+    args = config_utils.parse_args(argv)
+    opt = config_utils.parse_configs(args)
+    setup_logger("base")
+    path_utils.setup_paths(opt, args.mode)
+
+    if args.mode == "train":
+        train(opt)
+    elif args.mode == "test":
+        test(opt)
+    elif args.mode == "profile":
+        profile(opt, args.lr_size, args.test_speed)
+    else:
+        raise ValueError(
+            f"Unrecognized mode: {args.mode} (train|test|profile)")
+
+
+if __name__ == "__main__":
+    main()

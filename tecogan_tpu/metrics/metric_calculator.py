@@ -1,0 +1,160 @@
+"""Training/validation metric calculator (PSNR / SSIM / LPIPS / tOF).
+
+Behavioural counterpart of `codes/metrics/metric_calculator.py`:
+per-frame metrics -> per-sequence means -> dataset average, JSON persistence
+keyed by model index. Protocols match the reference exactly:
+
+- PSNR on RGB or Y (DUF/BasicSR YCbCr transform), float64, 20*log10(255/RMSE)
+- tOF: mean end-point error between Farneback flows (OpenCV, host-side) of
+  consecutive GT vs SR frames, computed on grayscale
+- LPIPS: net-lin/alex v0.1 (gated on weight availability)
+- SSIM on Y (extension; the official harness computes it too)
+
+Single-controller JAX runs all sequences in one process, so the reference's
+`dist.reduce` gather (`metric_calculator.py:99-102`) is unnecessary; when
+sequences are round-robined across processes in multi-host mode the caller
+merges dicts instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os.path as osp
+
+import cv2
+import numpy as np
+
+from ..ops import rgb_to_ycbcr
+from ..utils.logging_utils import log_info
+from .ssim import ssim
+
+__all__ = ["MetricCalculator", "create_metric_calculator"]
+
+_FARNEBACK = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+                  poly_n=5, poly_sigma=1.2, flags=0)
+
+
+def create_metric_calculator(opt):
+    if "metric" in opt and opt["metric"] is not None:
+        return MetricCalculator(opt)
+    return None
+
+
+class MetricCalculator:
+    def __init__(self, opt):
+        self.metric_opt = opt["metric"]
+        self.psnr_colorspace = self.metric_opt.get(
+            "PSNR", {}).get("colorspace", "y")
+        self.lpips = None
+        if "LPIPS" in self.metric_opt:
+            from .lpips import LPIPS
+
+            self.lpips = LPIPS(net=self.metric_opt["LPIPS"].get("net", "alex"))
+        self.reset()
+
+    def reset(self):
+        self.metric_dict = {}
+        self.avg_metric_dict = {}
+
+    # ------------------------------------------------------------- sequences
+    def compute_sequence_metrics(self, seq_idx, true_seq, pred_seq):
+        """true/pred: (t, h, w, c) uint8 RGB."""
+        per_frame = {m: [] for m in self.metric_opt}
+        prev = None
+        for i in range(true_seq.shape[0]):
+            t_img, p_img = true_seq[i], pred_seq[i]
+            # crop the larger to the smaller if sizes differ
+            mh = min(t_img.shape[0], p_img.shape[0])
+            mw = min(t_img.shape[1], p_img.shape[1])
+            t_img, p_img = t_img[:mh, :mw], p_img[:mh, :mw]
+
+            for mtype in self.metric_opt:
+                if mtype == "PSNR":
+                    per_frame["PSNR"].append(self._psnr(t_img, p_img))
+                elif mtype == "SSIM":
+                    per_frame["SSIM"].append(self._ssim(t_img, p_img))
+                elif mtype == "LPIPS":
+                    per_frame["LPIPS"].append(
+                        float(self.lpips(t_img, p_img)[0]))
+                elif mtype == "tOF" and prev is not None:
+                    per_frame["tOF"].append(
+                        self._tof(prev[0], t_img, prev[1], p_img))
+            prev = (t_img, p_img)
+        self.metric_dict[seq_idx] = per_frame
+
+    def _psnr(self, t_img, p_img):
+        if self.psnr_colorspace == "rgb":
+            a, b = t_img, p_img
+        else:
+            a = rgb_to_ycbcr(t_img)[..., 0]
+            b = rgb_to_ycbcr(p_img)[..., 0]
+        rmse = np.sqrt(np.mean(
+            (a.astype(np.float64) - b.astype(np.float64)) ** 2))
+        return np.inf if rmse == 0 else 20 * np.log10(255.0 / rmse)
+
+    @staticmethod
+    def _ssim(t_img, p_img):
+        a = rgb_to_ycbcr(t_img)[..., 0].astype(np.float64)
+        b = rgb_to_ycbcr(p_img)[..., 0].astype(np.float64)
+        return ssim(a, b, data_range=255.0)
+
+    @staticmethod
+    def _tof(t_prev, t_cur, p_prev, p_cur):
+        tg = [cv2.cvtColor(x, cv2.COLOR_RGB2GRAY) for x in
+              (t_prev, t_cur, p_prev, p_cur)]
+        true_of = cv2.calcOpticalFlowFarneback(tg[0], tg[1], None,
+                                               **_FARNEBACK)
+        pred_of = cv2.calcOpticalFlowFarneback(tg[2], tg[3], None,
+                                               **_FARNEBACK)
+        d = true_of - pred_of
+        return float(np.mean(np.sqrt(np.sum(d * d, axis=-1))))
+
+    # --------------------------------------------------------------- results
+    def gather(self, seq_idx_lst):
+        for seq_idx in seq_idx_lst:
+            if seq_idx not in self.metric_dict:
+                continue
+            self.avg_metric_dict[seq_idx] = {
+                m: float(np.mean(v)) if v else float("nan")
+                for m, v in self.metric_dict[seq_idx].items()
+            }
+
+    def merge(self, other_avg_dicts):
+        """Merge avg dicts gathered by other processes (multi-host)."""
+        for d in other_avg_dicts:
+            self.avg_metric_dict.update(d)
+
+    def average(self):
+        return {
+            m: float(np.mean([
+                seq[m] for seq in self.avg_metric_dict.values()]))
+            for m in self.metric_opt
+        }
+
+    def display(self):
+        for seq_idx, md in self.avg_metric_dict.items():
+            log_info(f"Sequence: {seq_idx}")
+            for m, v in md.items():
+                log_info(f"\t{m}: {v:.6f}")
+        log_info("Average")
+        for m, v in self.average().items():
+            log_info(f"\t{m}: {v:.6f}")
+
+    def save(self, model_idx, save_path, override=False):
+        import os
+
+        os.makedirs(osp.dirname(save_path) or ".", exist_ok=True)
+        json_dict = {}
+        if osp.exists(save_path):
+            with open(save_path) as f:
+                json_dict = json.load(f)
+        entry = json_dict.setdefault(model_idx, {})
+        for m, v in self.average().items():
+            if m in entry and not override:
+                continue
+            entry[m] = f"{v:.6f}"
+        json_dict = dict(sorted(
+            json_dict.items(),
+            key=lambda kv: int(kv[0].replace("G_iter", ""))))
+        with open(save_path, "w") as f:
+            json.dump(json_dict, f, sort_keys=False, indent=4)

@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# Usage: bash ./train.sh <degradation: BD|BI> <model: Model/ExpName> [start_iter]
+# TPU-native: one process drives the whole device mesh (no dist launcher).
+set -e
+
+degradation=$1
+model=$2
+start_iter=${3:-0}
+
+if [ -z "$degradation" ] || [ -z "$model" ]; then
+  echo "Usage: bash ./train.sh <BD|BI> <Model/ExpName> [start_iter]"
+  exit 1
+fi
+
+exp_dir=./experiments_${degradation}/${model}
+
+if [ "$start_iter" -eq 0 ] && [ -d "${exp_dir}/train" ]; then
+  echo ">> Experiment dir exists: ${exp_dir}/train"
+  echo ">> Please delete it, or pass a start_iter to resume"
+  exit 1
+fi
+
+mkdir -p "${exp_dir}/train"
+
+yml=train.yml
+if [ "$start_iter" -gt 0 ] && [ -f "${exp_dir}/train_iter${start_iter}.yml" ]; then
+  yml=train_iter${start_iter}.yml
+fi
+
+python -m tecogan_tpu.main \
+  --exp_dir "${exp_dir}" \
+  --mode train \
+  --opt "${exp_dir}/${yml}" \
+  --gpu_ids "${GPU_IDS:-0}" \
+  > "${exp_dir}/train/train.log" 2>&1 &
+echo "training started: log at ${exp_dir}/train/train.log"
