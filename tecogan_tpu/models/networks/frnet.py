@@ -43,6 +43,12 @@ class FRNetConfig:
     # rematerialise the per-frame SRNet step during the training unroll to
     # keep BPTT memory O(t * activation-of-one-frame)
     remat: bool = True
+    # compute dtype for inference ('float32' | 'bfloat16'). bf16 feeds the
+    # MXU at full rate; flow-warp coordinate math stays fp32 regardless
+    # (ops/warp.py) and output quantisation happens in fp32.
+    compute_dtype: str = "float32"
+    # use the Pallas warp kernel in inference paths on TPU
+    pallas_warp: bool = True
 
     @property
     def upsample_fn(self):
@@ -83,9 +89,28 @@ def _hr_flow(cfg: FRNetConfig, lr_flow: jnp.ndarray, h: int, w: int):
     return cfg.scale * cfg.upsample_fn(lr_flow)
 
 
-def _sr_step(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev, hr_flow):
+def _inference_warp(cfg: FRNetConfig):
+    """Warp impl for inference: the Pallas kernel on TPU when the padded
+    image fits VMEM (it is ~5x faster than XLA's gather), else the gather.
+    Training always uses the gather warp (differentiable)."""
+    if not cfg.pallas_warp or jax.default_backend() != "tpu":
+        return backward_warp
+    from ...ops.warp_pallas import backward_warp_pallas
+
+    def warp(x, flow):
+        c_, h_, w_ = x.shape[-1], x.shape[-3], x.shape[-2]
+        vmem_bytes = c_ * (h_ + 48) * (w_ + 384) * x.dtype.itemsize
+        if vmem_bytes > 12 * 2 ** 20:
+            return backward_warp(x, flow)
+        return backward_warp_pallas(x, flow)
+
+    return warp
+
+
+def _sr_step(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev, hr_flow,
+             warp_fn=backward_warp):
     """One recurrence step: warp previous HR, pack, reconstruct."""
-    hr_warp = backward_warp(hr_prev, hr_flow)
+    hr_warp = warp_fn(hr_prev, hr_flow)
     return srnet_apply(
         srnet_params, lr_curr, space_to_depth(hr_warp, cfg.scale),
         cfg.upsample_fn, cfg.nb, cfg.scale)
@@ -160,7 +185,8 @@ def step(params, lr_curr, lr_prev, hr_prev, cfg: FRNetConfig):
     h, w = lr_curr.shape[-3], lr_curr.shape[-2]
     lr_flow = fnet_apply(params["fnet"], lr_curr, lr_prev)
     hr_flow = _hr_flow(cfg, lr_flow, h, w)
-    return _sr_step(cfg, params["srnet"], lr_curr, hr_prev, hr_flow)
+    return _sr_step(cfg, params["srnet"], lr_curr, hr_prev, hr_flow,
+                    warp_fn=_inference_warp(cfg))
 
 
 # --------------------------------------------------------------------------
@@ -180,6 +206,13 @@ def infer_sequence(params, lr_seq: jnp.ndarray, cfg: FRNetConfig,
     t, h, w, c = lr_seq.shape
     s = cfg.scale
 
+    dt = jnp.dtype(cfg.compute_dtype)
+    if dt != lr_seq.dtype:
+        from ... import nn
+
+        params = nn.cast_params(params, dt)
+        lr_seq = lr_seq.astype(dt)
+
     # pad to a multiple of `chunk` with edge frames (trimmed after)
     n_chunks = -(-t // chunk)
     pad = n_chunks * chunk - t
@@ -188,6 +221,7 @@ def infer_sequence(params, lr_seq: jnp.ndarray, cfg: FRNetConfig,
             [lr_seq, jnp.broadcast_to(lr_seq[-1:], (pad, h, w, c))], axis=0)
 
     lr_chunks = lr_seq.reshape(n_chunks, chunk, h, w, c)
+    warp_fn = _inference_warp(cfg)
 
     def outer(carry, lr_chunk):
         lr_prev0, hr_prev0 = carry
@@ -198,11 +232,13 @@ def infer_sequence(params, lr_seq: jnp.ndarray, cfg: FRNetConfig,
         def inner(hr_prev, inp):
             lr_i, flow_i = inp
             hr_i = _sr_step(cfg, params["srnet"], lr_i[None], hr_prev[None],
-                            flow_i[None])[0]
+                            flow_i[None], warp_fn=warp_fn)[0]
             return hr_i, hr_i
 
         _, hr_chunk = jax.lax.scan(inner, hr_prev0, (lr_chunk, hr_flow))
-        out = jnp.clip(jnp.round(hr_chunk * 255.0), 0, 255).astype(jnp.uint8)
+        out = jnp.clip(
+            jnp.round(hr_chunk.astype(jnp.float32) * 255.0), 0, 255
+        ).astype(jnp.uint8)
         return (lr_chunk[-1], hr_chunk[-1]), out
 
     carry0 = (

@@ -125,24 +125,56 @@ def conv2d(p, x, stride: int = 1, padding: int | str = "SAME"):
 
 def conv2d_transpose(p, x, stride: int = 2, padding: int = 1,
                      output_padding: int = 1):
-    """NHWC transposed conv == torch ConvTranspose2d(k, stride, padding,
-    output_padding) with the kernel stored pre-converted to the equivalent
-    fractionally-strided conv's HWIO layout (spatially flipped at load time).
+    """NHWC transposed conv == torch ConvTranspose2d(3, 2, 1, output_padding=1)
+    with the kernel stored pre-converted to the equivalent fractionally-
+    strided conv's HWIO layout (spatially flipped at load time).
 
-    Equivalence: lhs_dilation=stride, per-side padding
-    (k-1-p, k-1-p+output_padding).
+    TPU-native lowering: instead of a zero-stuffed (lhs-dilated) convolution
+    at the OUTPUT resolution — slow on the MXU and 2.25x more MACs — the op
+    is decomposed into its four output phases, each a 2x2 convolution at the
+    INPUT resolution, interleaved with depth_to_space (sub-pixel / pixel-
+    shuffle form). Exact same numerics; parity is tested against torch.
+
+    Only the (k=3, s=2, p=1, op=1) geometry used by SRNet is supported.
     """
-    kh, kw = p["w"].shape[0], p["w"].shape[1]
-    pad_h = (kh - 1 - padding, kh - 1 - padding + output_padding)
-    pad_w = (kw - 1 - padding, kw - 1 - padding + output_padding)
+    assert stride == 2 and padding == 1 and output_padding == 1
+    w = p["w"]  # flipped HWIO (3, 3, cin, cout)
+    assert w.shape[0] == 3 and w.shape[1] == 3
+    cin, cout = w.shape[2], w.shape[3]
+
+    # per-axis tap->kernel-index map for phase 0/1 of the dilated conv:
+    #   phase 0 reads only the centre tap (j=1); phase 1 reads taps j=0, j=2
+    zero = jnp.zeros((cin, cout), w.dtype)
+
+    def tap(py, ty, px, tx):
+        jy = {(0, 0): 1, (1, 0): 0, (1, 1): 2}.get((py, ty))
+        jx = {(0, 0): 1, (1, 0): 0, (1, 1): 2}.get((px, tx))
+        if jy is None or jx is None:
+            return zero
+        return w[jy, jx]
+
+    # build (2, 2, cin, 4*cout) with phase (dy*2+dx) leading in the output
+    # channel factor (matches depth_to_space ordering)
+    phases = []
+    for py in range(2):
+        for px in range(2):
+            k = jnp.stack([
+                jnp.stack([tap(py, ty, px, tx) for tx in range(2)], 0)
+                for ty in range(2)], 0)  # (2, 2, cin, cout)
+            phases.append(k)
+    w_sub = jnp.concatenate(phases, axis=-1)  # (2, 2, cin, 4*cout)
+
     y = jax.lax.conv_general_dilated(
         x,
-        p["w"].astype(x.dtype),
+        w_sub.astype(x.dtype),
         window_strides=(1, 1),
-        padding=(pad_h, pad_w),
-        lhs_dilation=(stride, stride),
+        padding=((0, 1), (0, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+    # interleave phases: (n, h, w, 4*cout) -> (n, 2h, 2w, cout)
+    n, h, ww_, _ = y.shape
+    y = y.reshape(n, h, ww_, 2, 2, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * ww_, cout)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

@@ -34,7 +34,10 @@ def backward_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         bilinearly with border clamping.
     """
     n, h, w, c = x.shape
-    ft = flow.dtype
+    # coordinates/weights always in fp32: bf16 cannot represent pixel
+    # indices beyond 256, which would corrupt HR-resolution warps
+    ft = jnp.promote_types(flow.dtype, jnp.float32)
+    flow = flow.astype(ft)
 
     sx = jnp.arange(w, dtype=ft)[None, None, :] + flow[..., 0]
     sy = jnp.arange(h, dtype=ft)[None, :, None] + flow[..., 1]
@@ -58,6 +61,8 @@ def backward_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     v10 = g(x, y1i, x0i)
     v11 = g(x, y1i, x1i)
 
+    wx = wx.astype(x.dtype)
+    wy = wy.astype(x.dtype)
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
     return top * (1.0 - wy) + bot * wy
