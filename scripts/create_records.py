@@ -1,0 +1,73 @@
+"""Build a TecoRecords store (or check one) from a PNG sequence tree.
+
+Replaces the reference's LMDB builder (`scripts/create_lmdb.py`): the output
+is the mmap-friendly flat-blob format in tecogan_tpu/data/records.py, which
+the training loader (and the native C++ prefetcher) read zero-copy.
+
+Usage:
+  python scripts/create_records.py --dataset VimeoTecoGAN \
+      --raw_dir data/VimeoTecoGAN/Raw --out_dir data/VimeoTecoGAN/GT.lmdb
+  python scripts/create_records.py --check --out_dir data/.../GT.lmdb
+"""
+
+import argparse
+import os
+import os.path as osp
+import random
+import sys
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from tecogan_tpu.data.records import RecordStore, RecordWriter, make_key  # noqa: E402
+
+
+def build(raw_dir, out_dir, filter_file=None):
+    seqs = sorted(os.listdir(raw_dir))
+    if filter_file:
+        with open(filter_file) as f:
+            sel = {line.strip() for line in f if line.strip()}
+        seqs = [s for s in seqs if s in sel]
+
+    writer = RecordWriter(out_dir)
+    for si, seq in enumerate(seqs):
+        seq_dir = osp.join(raw_dir, seq)
+        frames = []
+        for fname in sorted(os.listdir(seq_dir)):
+            if not fname.lower().endswith((".png", ".jpg")):
+                continue
+            frames.append(cv2.imread(osp.join(seq_dir, fname))[..., ::-1])
+        if not frames:
+            continue
+        writer.add_sequence(seq, np.ascontiguousarray(np.stack(frames)))
+        print(f"[{si + 1}/{len(seqs)}] {seq}: {len(frames)} frames")
+    writer.close()
+    print(f"wrote {out_dir}")
+
+
+def check(out_dir, n_samples=3):
+    """Visual spot check: dump a few random frames next to the store."""
+    store = RecordStore(out_dir)
+    print(f"{len(store.keys)} frame keys, {len(store.seq_info)} sequences")
+    for _ in range(n_samples):
+        key = random.choice(store.keys)
+        frm = store.get(key)
+        out = osp.join(out_dir, f"check_{key}.png")
+        cv2.imwrite(out, frm[..., ::-1])
+        print(f"  {key}: {frm.shape} -> {out}")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="")
+    p.add_argument("--raw_dir", default="")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--filter_file", default=None)
+    p.add_argument("--check", action="store_true")
+    args = p.parse_args()
+    if args.check:
+        check(args.out_dir)
+    else:
+        build(args.raw_dir, args.out_dir, args.filter_file)

@@ -1,0 +1,197 @@
+"""Generate the experiment YAML matrix (FRVSR/TecoGAN x datasets x scales x
+degradations), mirroring the reference's 16 shipped configs
+(`experiments_BD/**`, `experiments_BI/**`) with identical hyperparameters.
+
+Run from the repo root:  python scripts/gen_experiment_configs.py
+"""
+
+import os
+import os.path as osp
+
+import yaml
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def dataset_block(degradation, ds, scale):
+    d = {"degradation": {"type": degradation}}
+    if degradation == "BD":
+        d["degradation"]["sigma"] = 1.5
+
+    if ds == "VimeoTecoGAN":
+        train = {"name": "VimeoTecoGAN", "filter_file": None}
+        store = "data/VimeoTecoGAN"
+    else:
+        train = {"name": "REDS",
+                 "filter_file": "data/meta/REDS/train_list.txt"}
+        store = "data/REDS"
+
+    if degradation == "BD":
+        train["seq_dir"] = f"{store}/GT.lmdb"
+        train["crop_size"] = 128
+    else:
+        train["gt_seq_dir"] = f"{store}/GT.lmdb"
+        train["lr_seq_dir"] = f"{store}/Bicubic{scale}xLR.lmdb"
+        train["gt_crop_size"] = 128
+    train.update({"data_type": "rgb", "batch_size_per_gpu": 2,
+                  "num_worker_per_gpu": 4, "pin_memory": True})
+    d["train"] = train
+
+    if ds == "VimeoTecoGAN":
+        lr_kind = "Gaussian" if degradation == "BD" else "Bicubic"
+        d["test"] = {
+            "name": "Vid4",
+            "gt_seq_dir": "data/Vid4/GT",
+            "lr_seq_dir": f"data/Vid4/{lr_kind}{scale}xLR",
+            "filter_file": None,
+            "num_worker_per_gpu": 4, "pin_memory": True,
+        }
+    else:
+        d["test"] = {
+            "name": "REDS",
+            "gt_seq_dir": "data/REDS/Raw",
+            "lr_seq_dir": None,
+            "filter_list": ["000", "011", "015", "020"],
+            "num_worker_per_gpu": 4, "pin_memory": True,
+        }
+    return d
+
+
+def make_train(model, ds, scale, degradation):
+    opt = {
+        "scale": scale,
+        "manual_seed": 0,
+        "verbose": True,
+        "dataset": dataset_block(degradation, ds, scale),
+        "model": {
+            "name": model,
+            "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
+                          "nf": 64, "nb": 10},
+        },
+        "train": {
+            "tempo_extent": 10,
+            "start_iter": 0,
+            "moving_first_frame": True,
+            "moving_factor": 0.7,
+            "pixel_crit": {"type": "CB", "weight": 1, "reduction": "mean"},
+            "warping_crit": {"type": "CB", "weight": 1, "reduction": "mean"},
+        },
+        "test": {
+            "test_freq": 10000,
+            "save_res": False, "res_dir": None,
+            "save_json": True, "json_dir": None,
+            "padding_mode": "reflect",
+            "num_pad_front": 5,
+        },
+        "metric": {
+            "PSNR": {"colorspace": "y"},
+            "LPIPS": {"model": "net-lin", "net": "alex", "colorspace": "rgb",
+                      "spatial": False, "version": 0.1},
+            "tOF": {"colorspace": "y"},
+        },
+        "logger": {"log_freq": 100, "decay": 0.99,
+                   "ckpt_freq": 10000 if scale == 2 else 20000},
+    }
+    if model == "FRVSR":
+        opt["train"]["total_iter"] = 400000
+        opt["train"]["generator"] = {
+            "lr": 1e-4,
+            "lr_schedule": {"type": "MultiStepLR",
+                            "milestones": [150000, 300000], "gamma": 0.5},
+            "betas": [0.9, 0.999],
+        }
+    else:  # TecoGAN: warm-started from FRVSR, adversarial objectives added
+        opt["model"]["generator"]["load_path"] = (
+            f"pretrained_models/FRVSR_{degradation}_iter400000.pth")
+        opt["model"]["discriminator"] = {
+            "name": "STNet", "in_nc": 3, "tempo_range": 3, "load_path": None}
+        opt["train"]["total_iter"] = 500000
+        opt["train"]["generator"] = {
+            "lr": 5e-5, "lr_schedule": {"type": "FixedLR"},
+            "betas": [0.9, 0.999]}
+        opt["train"]["discriminator"] = {
+            "update_policy": "adaptive", "update_threshold": 0.4,
+            "crop_border_ratio": 0.75,
+            "lr": 5e-5, "lr_schedule": {"type": "FixedLR"},
+            "betas": [0.9, 0.999]}
+        opt["train"]["feature_crit"] = {
+            "type": "CosineSimilarity", "weight": 0.2, "reduction": "mean",
+            "feature_layers": [8, 17, 26, 35]}
+        opt["train"]["pingpong_crit"] = {
+            "type": "CB", "weight": 0.5, "reduction": "mean"}
+        opt["train"]["gan_crit"] = {
+            "type": "GAN", "weight": 0.01, "reduction": "mean"}
+    return opt
+
+
+def make_test(model, ds, scale, degradation):
+    lr_kind = "Gaussian" if degradation == "BD" else "Bicubic"
+    ckpt = {
+        ("FRVSR", "BD"): "FRVSR_BD_iter400000.pth",
+        ("FRVSR", "BI"): "FRVSR_BI_iter400000.pth",
+        ("TecoGAN", "BD"): f"TecoGAN_{scale}x_BD_{'Vimeo' if ds == 'VimeoTecoGAN' else 'REDS'}_iter500K.pth",
+        ("TecoGAN", "BI"): f"TecoGAN_{scale}x_BI_{'Vimeo' if ds == 'VimeoTecoGAN' else 'REDS'}_iter500K.pth",
+    }[(model, degradation)]
+    opt = {
+        "scale": scale,
+        "manual_seed": 0,
+        "verbose": False,
+        "dataset": {
+            "degradation": {"type": degradation},
+        },
+        "model": {
+            "name": model,
+            "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
+                          "nf": 64, "nb": 10,
+                          "load_path": f"pretrained_models/{ckpt}"},
+        },
+        "test": {
+            "save_res": True, "res_dir": "results",
+            "padding_mode": "reflect", "num_pad_front": 5,
+        },
+    }
+    if degradation == "BD":
+        opt["dataset"]["degradation"]["sigma"] = 1.5
+    if ds == "VimeoTecoGAN":
+        opt["dataset"]["test1"] = {
+            "name": "Vid4", "gt_seq_dir": "data/Vid4/GT",
+            "lr_seq_dir": f"data/Vid4/{lr_kind}{scale}xLR",
+            "num_worker_per_gpu": 4, "pin_memory": True}
+        opt["dataset"]["test2"] = {
+            "name": "ToS3", "gt_seq_dir": "data/ToS3/GT",
+            "lr_seq_dir": f"data/ToS3/{lr_kind}{scale}xLR",
+            "num_worker_per_gpu": 4, "pin_memory": True}
+    else:
+        opt["dataset"]["test1"] = {
+            "name": "REDS", "gt_seq_dir": "data/REDS/Raw",
+            "lr_seq_dir": None,
+            "filter_list": ["000", "011", "015", "020"],
+            "num_worker_per_gpu": 4, "pin_memory": True}
+    return opt
+
+
+def main():
+    combos = [
+        ("BD", "VimeoTecoGAN", 4),
+        ("BD", "REDS", 4),
+        ("BD", "REDS", 2),
+        ("BI", "VimeoTecoGAN", 4),
+    ]
+    for model in ("FRVSR", "TecoGAN"):
+        for degradation, ds, scale in combos:
+            if degradation == "BI" and ds == "REDS":
+                continue
+            exp = f"{model}_{ds}_{scale}xSR_2GPU"
+            d = osp.join(ROOT, f"experiments_{degradation}", model, exp)
+            os.makedirs(d, exist_ok=True)
+            with open(osp.join(d, "train.yml"), "w") as f:
+                yaml.safe_dump(make_train(model, ds, scale, degradation), f,
+                               sort_keys=False)
+            with open(osp.join(d, "test.yml"), "w") as f:
+                yaml.safe_dump(make_test(model, ds, scale, degradation), f,
+                               sort_keys=False)
+            print("wrote", d)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,15 @@ class MetricCalculator:
         if "LPIPS" in self.metric_opt:
             from .lpips import LPIPS
 
-            self.lpips = LPIPS(net=self.metric_opt["LPIPS"].get("net", "alex"))
+            try:
+                self.lpips = LPIPS(
+                    net=self.metric_opt["LPIPS"].get("net", "alex"))
+            except FileNotFoundError as e:
+                # weights unavailable (offline env): skip LPIPS, keep the
+                # rest of the metric stack functional
+                log_info(f"WARNING: LPIPS disabled — {e}")
+                self.metric_opt = {k: v for k, v in self.metric_opt.items()
+                                   if k != "LPIPS"}
         self.reset()
 
     def reset(self):

@@ -1,0 +1,192 @@
+"""Publication-grade metric harness (TecoGAN protocol).
+
+A from-scratch implementation of the evaluation protocol of the reference's
+`codes/official_metrics/metrics.py` (itself derived from TecoGAN-TF):
+
+- first/last ``cutfr=2`` frames of each sequence are skipped;
+- images are centre-cropped to 32-multiples with >=16px margin ("crop_8x8");
+- PSNR & SSIM on the Y channel of the DUF-style YCbCr transform (float,
+  not re-quantised); SSIM uses data_range = Y_pred.max() - Y_pred.min();
+- tOF = mean end-point error between Farneback flows of consecutive GT vs
+  SR frames (grayscale, flows cropped);
+- LPIPS (net-lin/alex v0.1) and tLP100 = 100*|LPIPS(gt_prev,gt) -
+  LPIPS(sr_prev,sr)| — skipped with a warning if weights are unavailable;
+- CSV output: per-folder frame series, then Avg / FolderAvg / FrameAvg rows.
+
+CLI: python -m tecogan_tpu.official_metrics.metrics
+         --output DIR --results d1,d2 --targets t1,t2
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import sys
+
+import cv2
+import numpy as np
+import pandas as pd
+
+from ..metrics.ssim import ssim as ssim_fn
+
+_CUTFR = 2
+_FARNEBACK = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+                  poly_n=5, poly_sigma=1.2, flags=0)
+
+# DUF-style RGB->YCbCr (float output, no rounding)
+_T = np.array([
+    [0.256788235294118, 0.504129411764706, 0.097905882352941],
+    [-0.148223529411765, -0.290992156862745, 0.439215686274510],
+    [0.439215686274510, -0.367788235294118, -0.071427450980392],
+], dtype=np.float64)
+_O = np.array([16.0, 128.0, 128.0])
+
+
+def _luma(img_uint8_rgb):
+    f = img_uint8_rgb.astype(np.float64)
+    return f @ _T.T[:, 0] + _O[0]
+
+
+def list_png(dirpath):
+    files = [f for f in os.listdir(dirpath)
+             if f.endswith(".png") and not f.startswith("IB")]
+    files.sort()
+    files.sort(key=lambda f: int("".join(filter(str.isdigit, f)) or -1))
+    return [osp.join(dirpath, f) for f in files]
+
+
+def crop_32(img):
+    """Centre crop to 32-multiples, keeping >=16px margin per side."""
+    oh, ow = img.shape[0], img.shape[1]
+    h = (oh // 32) * 32
+    w = (ow // 32) * 32
+    while h > oh - 16:
+        h -= 32
+    while w > ow - 16:
+        w -= 32
+    y, x = (oh - h) // 2, (ow - w) // 2
+    return img[y:y + h, x:x + w], y, x
+
+
+def psnr_y(tar, out):
+    d = _luma(tar) - _luma(out)
+    rmse = np.sqrt(np.mean(d * d))
+    return float("inf") if rmse == 0 else 20 * np.log10(255.0 / rmse)
+
+
+def ssim_y(tar, out):
+    yt, yo = _luma(tar), _luma(out)
+    return ssim_fn(yt, yo, data_range=yo.max() - yo.min())
+
+
+def _try_lpips():
+    try:
+        from ..metrics.lpips import LPIPS
+
+        return LPIPS()
+    except FileNotFoundError as e:
+        print(f"WARNING: LPIPS/tLP100 disabled — {e}")
+        return None
+
+
+def evaluate_folders(result_dirs, target_dirs, output_dir):
+    os.makedirs(output_dir, exist_ok=True)
+    lpips = _try_lpips()
+    keys = ["PSNR", "SSIM", "tOF"] + (["LPIPS", "tLP100"] if lpips else [])
+
+    sum_d = {k: 0.0 for k in keys}
+    len_d = {k: 0 for k in keys}
+    folder_d = {k: 0.0 for k in keys}
+    avg_rows = {k: [] for k in keys}
+
+    log_path = osp.join(output_dir, "metricsfile.txt")
+    csv_path = osp.join(output_dir, "metrics.csv")
+    log = open(log_path, "a")
+
+    for fi, (rdir, tdir) in enumerate(zip(result_dirs, target_dirs)):
+        outs, tars = list_png(rdir), list_png(tdir)
+        n = len(tars)
+        series = {k: [] for k in keys}
+        pre = {}
+
+        for i in range(_CUTFR, n - _CUTFR):
+            out = cv2.imread(outs[i])[:, :, ::-1]
+            tar = cv2.imread(tars[i])[:, :, ::-1]
+            mh = min(out.shape[0], tar.shape[0])
+            mw = min(out.shape[1], tar.shape[1])
+            out, tar = out[:mh, :mw], tar[:mh, :mw]
+
+            out_g = cv2.cvtColor(out, cv2.COLOR_RGB2GRAY)
+            tar_g = cv2.cvtColor(tar, cv2.COLOR_RGB2GRAY)
+            if i > _CUTFR:
+                t_of = cv2.calcOpticalFlowFarneback(
+                    pre["tar_g"], tar_g, None, **_FARNEBACK)
+                o_of = cv2.calcOpticalFlowFarneback(
+                    pre["out_g"], out_g, None, **_FARNEBACK)
+                t_of, _, _ = crop_32(t_of)
+                o_of, _, _ = crop_32(o_of)
+                d = t_of - o_of
+                series["tOF"].append(
+                    float(np.mean(np.sqrt(np.sum(d * d, -1)))))
+            pre["tar_g"], pre["out_g"] = tar_g, out_g
+
+            tar_c, _, _ = crop_32(tar)
+            out_c, _, _ = crop_32(out)
+            series["PSNR"].append(psnr_y(tar_c, out_c))
+            series["SSIM"].append(ssim_y(tar_c, out_c))
+
+            if lpips:
+                d01 = float(lpips(tar_c, out_c)[0])
+                series["LPIPS"].append(d01)
+                if i > _CUTFR:
+                    d0t = float(lpips(pre["tar_c"], tar_c)[0])
+                    d1t = float(lpips(pre["out_c"], out_c)[0])
+                    series["tLP100"].append(abs(d0t - d1t) * 100.0)
+                pre["tar_c"], pre["out_c"] = tar_c, out_c
+
+        pd_dict = {}
+        for k in keys:
+            arr = np.float32(series[k])
+            pd_dict[f"{k}_{fi:02d}"] = pd.Series(arr)
+            mean = float(arr.mean()) if len(arr) else float("nan")
+            avg_rows[k].append(mean)
+            sum_d[k] += float(arr.sum())
+            len_d[k] += len(arr)
+            folder_d[k] += mean
+        pd.DataFrame(pd_dict).to_csv(csv_path, mode="w" if fi == 0 else "a")
+        log.write(f"folder {fi}: {rdir}\n")
+
+    summary = {}
+    for k in keys:
+        frame_avg = sum_d[k] / max(len_d[k], 1)
+        folder_avg = folder_d[k] / max(len(result_dirs), 1)
+        summary[k] = (len_d[k], frame_avg, folder_avg)
+        msg = (f"{k}, total frame {len_d[k]}, total avg {frame_avg:02.4f}, "
+               f"folder avg {folder_avg:02.4f}")
+        print(msg)
+        log.write(msg + "\n")
+
+    pd.DataFrame({f"Avg_{k}": pd.Series(np.float32(avg_rows[k]))
+                  for k in keys}).to_csv(csv_path, mode="a")
+    pd.DataFrame({f"FolderAvg_{k}": pd.Series([summary[k][2]])
+                  for k in keys}).to_csv(csv_path, mode="a")
+    pd.DataFrame({f"FrameAvg_{k}": pd.Series([summary[k][1]])
+                  for k in keys}).to_csv(csv_path, mode="a")
+    log.close()
+    print("Finished.")
+    return summary
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--output", required=True)
+    p.add_argument("--results", required=True)
+    p.add_argument("--targets", required=True)
+    args = p.parse_args(argv)
+    evaluate_folders(args.results.split(","), args.targets.split(","),
+                     args.output)
+
+
+if __name__ == "__main__":
+    main()

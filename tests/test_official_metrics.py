@@ -1,0 +1,84 @@
+"""Official metric harness tests on synthetic sequences."""
+
+import os
+import os.path as osp
+
+import cv2
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from tecogan_tpu.official_metrics.metrics import (
+    crop_32,
+    evaluate_folders,
+    list_png,
+    psnr_y,
+)
+from tecogan_tpu.metrics.ssim import ssim
+
+
+def _write_seq(root, n=8, h=96, w=120, seed=0, noise=0.0):
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    base = (rng.random((h, w, 3)) * 255).astype(np.float64)
+    for i in range(n):
+        img = np.roll(base, i * 3, axis=1)
+        if noise:
+            img = img + rng.normal(0, noise, img.shape)
+        cv2.imwrite(osp.join(root, f"{i:04d}.png"),
+                    np.clip(img, 0, 255).astype(np.uint8)[..., ::-1])
+
+
+def test_crop_32_rules():
+    img = np.zeros((96, 120, 3))
+    c, y, x = crop_32(img)
+    # keeps >=16 px margins: 96 -> 64, 120 -> 96
+    assert c.shape == (64, 96, 3) and y == 16 and x == 12
+
+
+def test_psnr_identity_and_known_value(rng):
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    assert psnr_y(img, img) == float("inf")
+    noisy = np.clip(img.astype(np.int32) + 10, 0, 255).astype(np.uint8)
+    v = psnr_y(img, noisy)
+    assert 20 < v < 40
+
+
+def test_ssim_matches_definition(rng):
+    a = (rng.random((64, 64)) * 255).astype(np.float64)
+    assert abs(ssim(a, a, data_range=255.0) - 1.0) < 1e-9
+    b = a + rng.normal(0, 20, a.shape)
+    v = ssim(a, b, data_range=255.0)
+    assert 0 < v < 1
+
+
+def test_evaluate_folders_end_to_end(tmp_path):
+    gt = str(tmp_path / "gt_seq")
+    sr = str(tmp_path / "sr_seq")
+    _write_seq(gt, seed=3)
+    _write_seq(sr, seed=3, noise=6.0)
+    out = str(tmp_path / "log")
+
+    summary = evaluate_folders([sr], [gt], out)
+    # 8 frames, cutfr=2 -> 4 scored frames; tOF skips one more
+    assert summary["PSNR"][0] == 4
+    assert summary["tOF"][0] == 3
+    assert 20 < summary["PSNR"][1] < 45
+    assert 0 < summary["SSIM"][1] <= 1
+    assert osp.exists(osp.join(out, "metrics.csv"))
+    assert osp.exists(osp.join(out, "metricsfile.txt"))
+
+    # identical sequences -> zero tOF
+    summary2 = evaluate_folders([gt], [gt], str(tmp_path / "log2"))
+    assert summary2["tOF"][1] == 0.0
+    assert summary2["SSIM"][1] == 1.0
+
+
+def test_list_png_numeric_sort(tmp_path):
+    d = str(tmp_path / "d")
+    os.makedirs(d)
+    for name in ["frame10.png", "frame2.png", "frame1.png", "IBx.png",
+                 "notes.txt"]:
+        open(osp.join(d, name), "w").close()
+    files = [osp.basename(f) for f in list_png(d)]
+    assert files == ["frame1.png", "frame2.png", "frame10.png"]
