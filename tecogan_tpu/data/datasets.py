@@ -80,29 +80,33 @@ class UnpairedClipDataset:
         item, rng = item_rng
         key = self.keys[item]
         t = self.tempo_extent
+        csz = self.crop_size
+        _, (_, h, w), _ = parse_key(key)
 
         if self.moving_first_frame and rng.uniform() > self.moving_factor:
-            frm = self.store.get(key)  # (h, w, c)
-            h, w = frm.shape[:2]
+            # random-walk windows over the first frame, then the regular
+            # random crop inside the (shrunk) common extent — composed into
+            # one crop per frame so the native assembler does a single pass
             pos, rang = _random_walk(rng, t, -3.5, 4.5)
             ch, cw = h - rang[0], w - rang[1]
-            frms = np.stack([
-                frm[top:top + ch, left:left + cw] for top, left in pos])
+            assert csz <= ch and csz <= cw, \
+                f"crop {csz} > moving-clip extent {ch}x{cw}"
+            top = rng.integers(0, ch - csz + 1)
+            left = rng.integers(0, cw - csz + 1)
+            keys = [key] * t
+            tops = pos[:, 0] + top
+            lefts = pos[:, 1] + left
         else:
             keys, _ = _clip_keys(key, t)
-            frms = np.stack([self.store.get(k) for k in keys])
+            assert csz <= h and csz <= w, f"crop {csz} > image {h}x{w}"
+            top = rng.integers(0, h - csz + 1)
+            left = rng.integers(0, w - csz + 1)
+            tops = np.full(t, top, np.int32)
+            lefts = np.full(t, left, np.int32)
 
-        pats = self._crop(frms, rng)
+        pats = self.store.clip_f32(keys, tops, lefts, csz, csz)
         pats = self._augment(pats, rng)
-        return {"gt": np.ascontiguousarray(pats, np.float32) / 255.0}
-
-    def _crop(self, frms, rng):
-        csz = self.crop_size
-        h, w = frms.shape[1:3]
-        assert csz <= h and csz <= w, f"crop {csz} > image {h}x{w}"
-        top = rng.integers(0, h - csz + 1)
-        left = rng.integers(0, w - csz + 1)
-        return frms[:, top:top + csz, left:left + csz]
+        return {"gt": np.ascontiguousarray(pats, np.float32)}
 
     @staticmethod
     def _augment(pats, rng):
@@ -155,43 +159,36 @@ class PairedClipDataset:
         item, rng = item_rng
         gt_key, lr_key = self.pairs[item]
         t, s = self.tempo_extent, self.scale
+        gcsz = self.gt_crop_size
+        lcsz = gcsz // s
+        _, (_, _, _), _ = parse_key(gt_key)
+        _, (_, lh, lw), _ = parse_key(lr_key)
 
         if self.moving_first_frame and rng.uniform() > self.moving_factor:
-            gt_frm = self.gt_store.get(gt_key)
-            lr_frm = self.lr_store.get(lr_key)
-            lh, lw = lr_frm.shape[:2]
             pos, rang = _random_walk(rng, t, -1.5, 1.5)
             ch, cw = lh - rang[0], lw - rang[1]
-            lr_frms = np.stack([
-                lr_frm[top:top + ch, left:left + cw] for top, left in pos])
-            gt_frms = np.stack([
-                gt_frm[top * s:(top + ch) * s, left * s:(left + cw) * s]
-                for top, left in pos])
+            assert lcsz <= ch and lcsz <= cw
+            top = rng.integers(0, ch - lcsz + 1)
+            left = rng.integers(0, cw - lcsz + 1)
+            gks, lks = [gt_key] * t, [lr_key] * t
+            l_tops, l_lefts = pos[:, 0] + top, pos[:, 1] + left
         else:
             gks, _ = _clip_keys(gt_key, t)
             lks, _ = _clip_keys(lr_key, t)
-            gt_frms = np.stack([self.gt_store.get(k) for k in gks])
-            lr_frms = np.stack([self.lr_store.get(k) for k in lks])
+            assert lcsz <= lh and lcsz <= lw
+            top = rng.integers(0, lh - lcsz + 1)
+            left = rng.integers(0, lw - lcsz + 1)
+            l_tops = np.full(t, top, np.int32)
+            l_lefts = np.full(t, left, np.int32)
 
-        gt_pats, lr_pats = self._paired_crop(gt_frms, lr_frms, rng)
+        lr_pats = self.lr_store.clip_f32(lks, l_tops, l_lefts, lcsz, lcsz)
+        gt_pats = self.gt_store.clip_f32(gks, l_tops * s, l_lefts * s,
+                                         gcsz, gcsz)
         gt_pats, lr_pats = self._paired_augment(gt_pats, lr_pats, rng)
         return {
-            "gt": np.ascontiguousarray(gt_pats, np.float32) / 255.0,
-            "lr": np.ascontiguousarray(lr_pats, np.float32) / 255.0,
+            "gt": np.ascontiguousarray(gt_pats, np.float32),
+            "lr": np.ascontiguousarray(lr_pats, np.float32),
         }
-
-    def _paired_crop(self, gt_frms, lr_frms, rng):
-        s = self.scale
-        gcsz = self.gt_crop_size
-        lcsz = gcsz // s
-        lh, lw = lr_frms.shape[1:3]
-        assert lcsz <= lh and lcsz <= lw
-        top = rng.integers(0, lh - lcsz + 1)
-        left = rng.integers(0, lw - lcsz + 1)
-        lr_pats = lr_frms[:, top:top + lcsz, left:left + lcsz]
-        gt_pats = gt_frms[:, top * s:top * s + gcsz,
-                          left * s:left * s + gcsz]
-        return gt_pats, lr_pats
 
     @staticmethod
     def _paired_augment(gt, lr, rng):

@@ -68,14 +68,32 @@ class RecordWriter:
             json.dump(meta, f)
 
 
-class RecordStore:
-    """Read side: key -> (h, w, c) uint8 frame view (no copy)."""
+class _StoreBase:
+    """Shared clip-assembly helper (numpy fallback path)."""
+
+    def clip_f32(self, keys, tops, lefts, ch, cw) -> np.ndarray:
+        """Crop one frame per key at (tops[i], lefts[i], ch, cw) and return
+        a (t, ch, cw, c) float32 clip in [0, 1]."""
+        frames = []
+        for key, top, left in zip(keys, tops, lefts):
+            frm = self.get(key)
+            frames.append(frm[top:top + ch, left:left + cw])
+        return np.stack(frames).astype(np.float32) / 255.0
+
+
+class RecordStore(_StoreBase):
+    """Read side: key -> (h, w, c) uint8 frame view (no copy).
+
+    Clip assembly goes through the native C++ library when built
+    (native/tecoloader.cpp): mmap gather + crop + uint8->f32 in one
+    multithreaded pass.
+    """
 
     def __init__(self, rec_dir):
         with open(osp.join(rec_dir, "index.json")) as f:
             meta = json.load(f)
-        self.blob = np.memmap(osp.join(rec_dir, "data.bin"), dtype=np.uint8,
-                              mode="r")
+        self._blob_path = osp.join(rec_dir, "data.bin")
+        self.blob = np.memmap(self._blob_path, dtype=np.uint8, mode="r")
         self.seq_info = {}
         self.keys = []
         for s in meta["seqs"]:
@@ -83,17 +101,38 @@ class RecordStore:
             for i in range(s["t"]):
                 self.keys.append(make_key(s["vid"], s["t"], s["h"], s["w"], i))
         self.keys.sort()
+        self._native = None
+        self._native_tried = False
 
-    def get(self, key: str) -> np.ndarray:
+    def _frame_offset(self, key):
         vid, (tot, h, w), idx = parse_key(key)
         s = self.seq_info[vid]
-        c = s["c"]
-        frame_bytes = h * w * c
-        off = s["offset"] + idx * frame_bytes
-        return self.blob[off:off + frame_bytes].reshape(h, w, c)
+        return s["offset"] + idx * (h * w * s["c"]), h, w, s["c"]
+
+    def get(self, key: str) -> np.ndarray:
+        off, h, w, c = self._frame_offset(key)
+        return self.blob[off:off + h * w * c].reshape(h, w, c)
+
+    def clip_f32(self, keys, tops, lefts, ch, cw) -> np.ndarray:
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from .native import NativeBlob, load_library
+
+                if load_library() is not None:
+                    self._native = NativeBlob(self._blob_path)
+            except Exception:
+                self._native = None
+        if self._native is None:
+            return super().clip_f32(keys, tops, lefts, ch, cw)
+        offs, h, w, c = [], None, None, None
+        for key in keys:
+            off, h, w, c = self._frame_offset(key)
+            offs.append(off)
+        return self._native.assemble_clip(offs, h, w, c, tops, lefts, ch, cw)
 
 
-class LMDBStore:
+class LMDBStore(_StoreBase):
     """Same interface over a reference-format LMDB (meta_info.pkl + frames).
 
     Lazily opens the environment per process (fork-safe), mirroring
