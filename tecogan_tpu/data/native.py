@@ -30,6 +30,18 @@ def load_library():
     _TRIED = True
     path = _lib_path()
     if not osp.exists(path):
+        # build on demand if the toolchain is available
+        import shutil
+        import subprocess
+
+        if shutil.which("make") and shutil.which("g++"):
+            try:
+                subprocess.run(
+                    ["make", "-C", osp.dirname(path), "-s"],
+                    check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+    if not osp.exists(path):
         return None
     lib = ctypes.CDLL(path)
     lib.teco_mmap_open.restype = ctypes.c_void_p

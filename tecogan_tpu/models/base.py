@@ -117,6 +117,16 @@ class BaseVSRModel:
         if path is None:
             return state, False
         loaded = ckpt_io.load_pytree(path)
-        state = jax.tree.map(lambda ref, x: jnp.asarray(x), state, loaded)
+        # the saved pytree uses plain containers (npz round-trip); rebuild
+        # with the live state's treedef (optax NamedTuples etc.) — leaf
+        # order is identical since both sides sort dict keys
+        ref_leaves, treedef = jax.tree.flatten(state)
+        new_leaves = jax.tree.leaves(loaded)
+        assert len(ref_leaves) == len(new_leaves), (
+            f"checkpoint/state leaf count mismatch: {len(new_leaves)} vs "
+            f"{len(ref_leaves)}")
+        leaves = [jnp.asarray(x, ref.dtype)
+                  for ref, x in zip(ref_leaves, new_leaves)]
+        state = jax.tree.unflatten(treedef, leaves)
         log_info(f"Resumed training state from {path}")
         return self.replicate(state), True
