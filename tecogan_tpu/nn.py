@@ -37,6 +37,7 @@ __all__ = [
     "init_conv",
     "init_conv_transpose",
     "init_dense",
+    "init_kaiming_normal",
     "init_batch_norm",
     "cast_params",
 ]
@@ -46,38 +47,56 @@ __all__ = [
 # initializers (parity with reference `net_utils.py:9-33` kaiming/xavier)
 # --------------------------------------------------------------------------
 
-def _kaiming_std(fan_in: int) -> float:
-    # kaiming_normal_(a=0, mode='fan_in', nonlinearity='leaky_relu') default
-    # used by the reference: gain = sqrt(2 / (1 + a^2)) = sqrt(2).
-    return math.sqrt(2.0 / fan_in)
+def _torch_default(key, shape, fan_in):
+    """torch's default layer init: kaiming_uniform_(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
+
+    The reference defines an explicit kaiming/xavier initializer
+    (`net_utils.py:9-33`) but never calls it — its networks train from
+    torch defaults, so training-from-scratch parity requires these.
+    """
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
 
 
-def init_conv(key, kh, kw, cin, cout, scale: float = 1.0, zero_bias=True):
-    """Conv params {'w': HWIO, 'b': (cout,)} with scaled kaiming-normal init."""
+def init_conv(key, kh, kw, cin, cout, scale: float = 1.0):
+    """Conv params {'w': HWIO, 'b': (cout,)}; torch-default init."""
+    kw_, kb = jax.random.split(key)
     fan_in = kh * kw * cin
-    w = jax.random.normal(key, (kh, kw, cin, cout), jnp.float32)
-    w = w * (_kaiming_std(fan_in) * scale)
-    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+    return {
+        "w": _torch_default(kw_, (kh, kw, cin, cout), fan_in) * scale,
+        "b": _torch_default(kb, (cout,), fan_in),
+    }
 
 
 def init_conv_transpose(key, kh, kw, cin, cout, scale: float = 1.0):
-    """ConvT params; stored directly as the equivalent-conv HWIO kernel.
+    """ConvT params, stored as the equivalent-conv HWIO kernel.
 
-    torch inits ConvTranspose2d kaiming with fan_in = kh*kw*cout (its weight
-    layout is (cin, cout, kh, kw) and fan_in uses dim-1); we reproduce the
-    reference's kaiming_normal_(mode='fan_in') on that layout.
+    torch quirk: _calculate_fan_in on the (cin, cout, kh, kw) layout uses
+    dim-1, i.e. fan_in = cout*kh*kw; reproduced here.
     """
+    kw_, kb = jax.random.split(key)
     fan_in = kh * kw * cout
-    w = jax.random.normal(key, (kh, kw, cin, cout), jnp.float32)
-    w = w * (_kaiming_std(fan_in) * scale)
-    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+    return {
+        "w": _torch_default(kw_, (kh, kw, cin, cout), fan_in) * scale,
+        "b": _torch_default(kb, (cout,), fan_in),
+    }
 
 
 def init_dense(key, din, dout, scale: float = 1.0):
-    w = jax.random.normal(key, (din, dout), jnp.float32) * (
-        _kaiming_std(din) * scale
-    )
-    return {"w": w, "b": jnp.zeros((dout,), jnp.float32)}
+    kw_, kb = jax.random.split(key)
+    return {
+        "w": _torch_default(kw_, (din, dout), din) * scale,
+        "b": _torch_default(kb, (dout,), din),
+    }
+
+
+def init_kaiming_normal(key, kh, kw, cin, cout, scale: float = 0.1):
+    """The reference's OPTIONAL initializer (`net_utils.py:9-33`):
+    kaiming_normal_(mode='fan_in') scaled, zero bias."""
+    fan_in = kh * kw * cin
+    w = jax.random.normal(key, (kh, kw, cin, cout), jnp.float32)
+    return {"w": w * (math.sqrt(2.0 / fan_in) * scale),
+            "b": jnp.zeros((cout,), jnp.float32)}
 
 
 def init_batch_norm(c):
