@@ -24,7 +24,16 @@ from .utils.logging_utils import log_info, print_options, setup_logger
 
 
 def _run_test_sets(opt, model, model_idx):
-    """Shared by test mode and in-training validation."""
+    """Shared by test mode and in-training validation.
+
+    In multi-host runs, sequences are round-robined over processes (the
+    reference round-robins over ranks, `main.py:93,169`) and per-sequence
+    metric averages are allgathered before saving.
+    """
+    import jax
+
+    rank, world = jax.process_index(), jax.process_count()
+
     for dataset_idx in sorted(opt["dataset"].keys()):
         if "test" not in dataset_idx:
             continue
@@ -34,7 +43,7 @@ def _run_test_sets(opt, model, model_idx):
         test_dataset = create_test_dataset(opt, dataset_idx)
         metric_calculator = create_metric_calculator(opt)
 
-        for idx in range(len(test_dataset)):
+        for idx in range(rank, len(test_dataset), world):
             data = test_dataset[idx]
             lr_data = model.prepare_inference_data(data)
             hr_seq = model.infer(lr_data)
@@ -51,12 +60,31 @@ def _run_test_sets(opt, model, model_idx):
 
         if metric_calculator is not None:
             metric_calculator.gather(list(metric_calculator.metric_dict))
+            if world > 1:
+                _allgather_metrics(metric_calculator)
+            if rank != 0:
+                continue
             if opt["test"].get("save_json"):
                 json_path = osp.join(
                     opt["test"]["json_dir"], f"{ds_name}_avg.json")
                 metric_calculator.save(model_idx, json_path, override=True)
             else:
                 metric_calculator.display()
+
+
+def _allgather_metrics(metric_calculator):
+    """Merge per-sequence metric averages across hosts (tiny payload)."""
+    import json as _json
+
+    from jax.experimental import multihost_utils
+
+    payload = _json.dumps(metric_calculator.avg_metric_dict)
+    gathered = multihost_utils.process_allgather(
+        np.frombuffer(payload.encode().ljust(1 << 16), dtype=np.uint8))
+    merged = {}
+    for row in np.atleast_2d(gathered):
+        merged.update(_json.loads(bytes(row).decode().rstrip()))
+    metric_calculator.avg_metric_dict = dict(sorted(merged.items()))
 
 
 def train(opt):

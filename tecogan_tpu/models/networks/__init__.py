@@ -11,6 +11,7 @@ from .frnet import (
     FRNetConfig,
     forward_sequence,
     infer_sequence,
+    infer_sequence_batch,
     init_frnet,
     step,
 )
@@ -91,6 +92,7 @@ __all__ = [
     "vgg19_features",
     "forward_sequence",
     "infer_sequence",
+    "infer_sequence_batch",
     "step",
     "build_flow_merge",
 ]

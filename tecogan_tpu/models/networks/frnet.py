@@ -193,46 +193,55 @@ def step(params, lr_curr, lr_prev, hr_prev, cfg: FRNetConfig):
 # streaming inference
 # --------------------------------------------------------------------------
 
-def infer_sequence(params, lr_seq: jnp.ndarray, cfg: FRNetConfig,
-                   chunk: int = 16) -> jnp.ndarray:
-    """SR an arbitrary-length LR sequence; returns uint8 (t, sh, sw, c).
+def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
+                         chunk: int = 16) -> jnp.ndarray:
+    """SR a BATCH of LR sequences: (n, t, h, w, c) -> uint8 (n, t, sh, sw, c).
 
-    Chunked double-scan: FNet is batched over each chunk's frame pairs (big
-    MXU-friendly batches), the SRNet recurrence scans within the chunk, and
-    an outer scan carries (lr_prev, hr_prev) across chunks. Output frames are
-    quantised to uint8 on device; the caller does one D2H for the whole
-    sequence.
+    Chunked double-scan: FNet is batched over all sequences' chunk frame
+    pairs (big MXU-friendly batches), the SRNet recurrence scans within the
+    chunk carrying the whole batch, and an outer scan carries
+    (lr_prev, hr_prev) across chunks. Output frames are quantised to uint8
+    on device; the caller does one D2H for everything.
+
+    Batching independent streams is the production serving mode: the
+    recurrence is inherently sequential per stream, so concurrent streams
+    are what fills the MXU.
     """
-    t, h, w, c = lr_seq.shape
+    n, t, h, w, c = lr_seqs.shape
     s = cfg.scale
 
     dt = jnp.dtype(cfg.compute_dtype)
-    if dt != lr_seq.dtype:
+    if dt != lr_seqs.dtype:
         from ... import nn
 
         params = nn.cast_params(params, dt)
-        lr_seq = lr_seq.astype(dt)
+        lr_seqs = lr_seqs.astype(dt)
 
     # pad to a multiple of `chunk` with edge frames (trimmed after)
     n_chunks = -(-t // chunk)
     pad = n_chunks * chunk - t
     if pad:
-        lr_seq = jnp.concatenate(
-            [lr_seq, jnp.broadcast_to(lr_seq[-1:], (pad, h, w, c))], axis=0)
+        lr_seqs = jnp.concatenate(
+            [lr_seqs, jnp.broadcast_to(lr_seqs[:, -1:],
+                                       (n, pad, h, w, c))], axis=1)
 
-    lr_chunks = lr_seq.reshape(n_chunks, chunk, h, w, c)
+    # (n_chunks, chunk, n, h, w, c)
+    lr_chunks = jnp.moveaxis(
+        lr_seqs.reshape(n, n_chunks, chunk, h, w, c), 0, 2)
     warp_fn = _inference_warp(cfg)
 
     def outer(carry, lr_chunk):
         lr_prev0, hr_prev0 = carry
         prevs = jnp.concatenate([lr_prev0[None], lr_chunk[:-1]], axis=0)
-        lr_flow = fnet_apply(params["fnet"], lr_chunk, prevs)
+        flat = lambda x: x.reshape(chunk * n, h, w, c)
+        lr_flow = fnet_apply(params["fnet"], flat(lr_chunk), flat(prevs))
         hr_flow = _hr_flow(cfg, lr_flow, h, w)
+        hr_flow = hr_flow.reshape(chunk, n, s * h, s * w, 2)
 
         def inner(hr_prev, inp):
             lr_i, flow_i = inp
-            hr_i = _sr_step(cfg, params["srnet"], lr_i[None], hr_prev[None],
-                            flow_i[None], warp_fn=warp_fn)[0]
+            hr_i = _sr_step(cfg, params["srnet"], lr_i, hr_prev, flow_i,
+                            warp_fn=warp_fn)
             return hr_i, hr_i
 
         _, hr_chunk = jax.lax.scan(inner, hr_prev0, (lr_chunk, hr_flow))
@@ -242,9 +251,17 @@ def infer_sequence(params, lr_seq: jnp.ndarray, cfg: FRNetConfig,
         return (lr_chunk[-1], hr_chunk[-1]), out
 
     carry0 = (
-        jnp.zeros((h, w, c), lr_seq.dtype),
-        jnp.zeros((s * h, s * w, cfg.out_nc), lr_seq.dtype),
+        jnp.zeros((n, h, w, c), lr_seqs.dtype),
+        jnp.zeros((n, s * h, s * w, cfg.out_nc), lr_seqs.dtype),
     )
     _, out = jax.lax.scan(outer, carry0, lr_chunks)
-    out = out.reshape(n_chunks * chunk, s * h, s * w, cfg.out_nc)
-    return out[:t]
+    # (n_chunks, chunk, n, H, W, c) -> (n, t, H, W, c)
+    out = jnp.moveaxis(out.reshape(n_chunks * chunk, n, s * h, s * w,
+                                   cfg.out_nc), 1, 0)
+    return out[:, :t]
+
+
+def infer_sequence(params, lr_seq: jnp.ndarray, cfg: FRNetConfig,
+                   chunk: int = 16) -> jnp.ndarray:
+    """SR one LR sequence: (t, h, w, c) -> uint8 (t, sh, sw, c)."""
+    return infer_sequence_batch(params, lr_seq[None], cfg, chunk)[0]

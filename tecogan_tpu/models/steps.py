@@ -35,8 +35,8 @@ import jax.numpy as jnp
 
 from ..ops import backward_warp, bd_border_size, downsample_bd
 from .losses import define_criterion
-from .networks import forward_sequence, stnet_apply, vgg19_features
-from .networks.discriminators import build_flow_merge
+from .networks import forward_sequence, snet_apply, stnet_apply, vgg19_features
+from .networks.discriminators import STNetConfig, build_flow_merge
 
 
 class TrainConfig(NamedTuple):
@@ -215,23 +215,27 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
     hr = out["hr_data"]
     hr_sg = jax.lax.stop_gradient(hr)
 
-    flow_merge = build_flow_merge(
-        jax.lax.stop_gradient(out["hr_flow"]), lr,
-        jax.lax.stop_gradient(state["g"]["fnet"]), cfg_d, use_pp)
+    is_stnet = isinstance(cfg_d, STNetConfig)
+    d_apply = stnet_apply if is_stnet else snet_apply
     ctx = {
         "lr_data": lr,
         "bi_data": bi,
-        "hr_flow": None,  # flow_merge provided directly
+        "hr_flow": None,
         "use_pp": use_pp,
         "crop_border_ratio": tcfg.crop_border_ratio,
         "fnet_params": None,
-        "flow_merge": flow_merge,
     }
+    if is_stnet:
+        # spatio-temporal D consumes flow-warped triplets; the flow merge is
+        # built once and gradient-stopped (`tecogan_nets.py:407-432`)
+        ctx["flow_merge"] = build_flow_merge(
+            jax.lax.stop_gradient(out["hr_flow"]), lr,
+            jax.lax.stop_gradient(state["g"]["fnet"]), cfg_d, use_pp)
 
     # === D phase: real & fake forwards with the current D ===
-    real_logits, real_feats, _, pd1 = stnet_apply(
+    real_logits, real_feats, _, pd1 = d_apply(
         state["d"], gt, ctx, cfg_d, train=True)
-    fake_logits, _, _, pd2 = stnet_apply(pd1, hr_sg, ctx, cfg_d, train=True)
+    fake_logits, _, _, pd2 = d_apply(pd1, hr_sg, ctx, cfg_d, train=True)
 
     # adaptive update vote: global means -> identical verdict on every replica
     logged_real = jnp.mean(jnp.log(jax.nn.sigmoid(real_logits) + 1e-8))
@@ -243,8 +247,8 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
         upd_d = jnp.asarray(True)
 
     def d_loss_fn(pd):
-        rl, _, _, _ = stnet_apply(pd, gt, ctx, cfg_d, train=True)
-        fl, _, _, _ = stnet_apply(pd, hr_sg, ctx, cfg_d, train=True)
+        rl, _, _, _ = d_apply(pd, gt, ctx, cfg_d, train=True)
+        fl, _, _, _ = d_apply(pd, hr_sg, ctx, cfg_d, train=True)
         return gan_crit(rl, True) + gan_crit(fl, False)
 
     def do_update(operand):
@@ -302,7 +306,7 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
             loss += l_pp
             logs["l_pp_G"] = l_pp
         # fresh D forward on non-detached hr (updates BN stats a 3rd time)
-        fake_g_logits, fake_g_feats, _, pd3 = stnet_apply(
+        fake_g_logits, fake_g_feats, _, pd3 = d_apply(
             pd, hr_g, ctx, cfg_d, train=True)
         if fm_crit is not None:
             layer_norm = tcfg.feature_matching_crit.get(
