@@ -23,6 +23,13 @@ import time
 
 def main():
     import jax
+
+    # persistent compilation cache: repeated bench runs skip the (minutes-
+    # long) XLA compile of the chunked scan pipeline
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     import jax.numpy as jnp
 
     from tecogan_tpu.models.networks import (

@@ -201,6 +201,15 @@ def profile(opt, lr_size: str, test_speed: bool = False):
 
 
 def main(argv=None):
+    try:  # persistent XLA compilation cache (first compiles take minutes)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          osp.expanduser("~/.cache/jax_comp_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     args = config_utils.parse_args(argv)
     opt = config_utils.parse_configs(args)
     setup_logger("base")

@@ -1,0 +1,119 @@
+"""CLI-level end-to-end: the real `tecogan_tpu.main` entry in train and
+profile modes with a tiny config, exercising config parsing, path setup,
+the train loop (logging cadence, checkpointing, validation sub-loop) and
+the profiler."""
+
+import json
+import os
+import os.path as osp
+
+import cv2
+import numpy as np
+import pytest
+import yaml
+
+from tecogan_tpu.data import RecordWriter
+
+
+@pytest.fixture
+def tiny_exp(tmp_path, rng):
+    """Records store + GT PNG tree + train.yml for a tiny FRVSR run."""
+    rec = str(tmp_path / "GT.rec")
+    w = RecordWriter(rec)
+    for vid in ("v0", "v1"):
+        w.add_sequence(vid, (rng.random((5, 48, 48, 3)) * 255).astype(
+            np.uint8))
+    w.close()
+
+    gt_root = str(tmp_path / "ValGT")
+    d = osp.join(gt_root, "seq_x")
+    os.makedirs(d)
+    base = (rng.random((48, 56, 3)) * 255).astype(np.uint8)
+    for i in range(5):
+        cv2.imwrite(osp.join(d, f"{i:04d}.png"),
+                    np.roll(base, i, axis=1)[..., ::-1])
+
+    exp_dir = str(tmp_path / "exp")
+    os.makedirs(exp_dir)
+    opt = {
+        "scale": 4, "manual_seed": 0, "verbose": False,
+        "dataset": {
+            "degradation": {"type": "BD", "sigma": 1.5},
+            "train": {"name": "VimeoTecoGAN", "seq_dir": rec,
+                      "data_type": "rgb", "crop_size": 32,
+                      "batch_size_per_gpu": 1, "num_worker_per_gpu": 1,
+                      "pin_memory": True},
+            "test": {"name": "Toy", "gt_seq_dir": gt_root,
+                     "num_worker_per_gpu": 1, "pin_memory": True},
+        },
+        "model": {"name": "FRVSR",
+                  "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
+                                "nf": 8, "nb": 2}},
+        "train": {"tempo_extent": 3, "start_iter": 0, "total_iter": 2,
+                  "moving_first_frame": True, "moving_factor": 0.7,
+                  "generator": {"lr": 1e-4,
+                                "lr_schedule": {"type": "FixedLR"},
+                                "betas": [0.9, 0.999]},
+                  "pixel_crit": {"type": "CB", "weight": 1,
+                                 "reduction": "mean"},
+                  "warping_crit": {"type": "CB", "weight": 1,
+                                   "reduction": "mean"}},
+        "test": {"test_freq": 2, "save_res": False, "res_dir": None,
+                 "save_json": True, "json_dir": None,
+                 "padding_mode": "reflect", "num_pad_front": 2},
+        "metric": {"PSNR": {"colorspace": "y"}},
+        "logger": {"log_freq": 1, "decay": 0.99, "ckpt_freq": 2},
+    }
+    with open(osp.join(exp_dir, "train.yml"), "w") as f:
+        yaml.safe_dump(opt, f)
+    return exp_dir
+
+
+def test_cli_train_mode(tiny_exp):
+    from tecogan_tpu.main import main
+
+    main(["--exp_dir", tiny_exp, "--mode", "train",
+          "--opt", osp.join(tiny_exp, "train.yml"), "--gpu_ids", "0,1"])
+
+    ckpt_dir = osp.join(tiny_exp, "train", "ckpt")
+    files = os.listdir(ckpt_dir)
+    assert "G_iter2.npz" in files and "state_iter2.npz" in files
+
+    json_path = osp.join(tiny_exp, "test", "metrics", "Toy_avg.json")
+    with open(json_path) as f:
+        j = json.load(f)
+    assert "G_iter2" in j and "PSNR" in j["G_iter2"]
+
+
+def test_cli_test_mode_after_training(tiny_exp):
+    from tecogan_tpu.main import main
+
+    main(["--exp_dir", tiny_exp, "--mode", "train",
+          "--opt", osp.join(tiny_exp, "train.yml"), "--gpu_ids", "0"])
+
+    # build a test.yml pointing at the saved checkpoint
+    with open(osp.join(tiny_exp, "train.yml")) as f:
+        opt = yaml.safe_load(f)
+    opt["model"]["generator"]["load_path"] = osp.join(
+        tiny_exp, "train", "ckpt", "G_iter2.npz")
+    opt["test"] = {"save_res": True, "res_dir": None, "save_json": True,
+                   "json_dir": None, "padding_mode": "reflect",
+                   "num_pad_front": 2}
+    del opt["dataset"]["train"]
+    opt["dataset"]["test1"] = opt["dataset"].pop("test")
+    with open(osp.join(tiny_exp, "test.yml"), "w") as f:
+        yaml.safe_dump(opt, f)
+
+    main(["--exp_dir", tiny_exp, "--mode", "test",
+          "--opt", osp.join(tiny_exp, "test.yml"), "--gpu_ids", "0"])
+
+    res = osp.join(tiny_exp, "test", "results", "Toy", "G_iter2", "seq_x")
+    assert len(os.listdir(res)) == 5
+
+
+def test_cli_profile_mode(tiny_exp, capsys):
+    from tecogan_tpu.main import main
+
+    main(["--exp_dir", tiny_exp, "--mode", "profile",
+          "--opt", osp.join(tiny_exp, "train.yml"), "--gpu_ids", "0",
+          "--lr_size", "3x16x16", "--test_speed"])
