@@ -149,6 +149,36 @@ class TorchFRNet(nn.Module):
         return self.srnet(lr_curr, torch_s2d(warped, self.scale), self.up)
 
 
+def torch_stnet_assembly(data, bi, hr_flow, crop_ratio, use_pp):
+    """STNet input assembly oracle, NCHW (`tecogan_nets.py:384-463`)."""
+    n, t_all, c, hh, ww = data.shape
+    t = t_all // 3 * 3
+    n_clip = n * (t // 3)
+    s_size = hh
+    c_size = int(s_size * crop_ratio)
+    n_pad = (s_size - c_size) // 2
+
+    flow_bw = hr_flow[:, 0:t:3]
+    flow_idle = torch.zeros_like(flow_bw)
+    assert use_pp, "oracle implements the ping-pong path only"
+    flow_fw = hr_flow.flip(1)[:, 1:t:3]
+    merge = torch.stack([flow_bw, flow_idle, flow_fw], dim=2)
+    merge = merge.reshape(n_clip * 3, 2, hh, ww).detach()
+
+    def pack(x):
+        x = x[:, :t].reshape(n_clip, 3, c, hh, ww)
+        return x.permute(0, 2, 1, 3, 4).reshape(n_clip, c * 3, hh, ww)
+
+    cond = pack(bi)
+    orig = pack(data)
+    warped = torch_warp(data[:, :t].reshape(n * t, c, hh, ww), merge)
+    warped = pack(warped.view(n, t, c, hh, ww))
+    warped = F.pad(
+        warped[..., n_pad:n_pad + c_size, n_pad:n_pad + c_size],
+        (n_pad,) * 4, mode="constant")
+    return torch.cat([orig, warped, cond], dim=1), merge
+
+
 class TorchDTrunk(nn.Module):
     """Discriminator conv trunk + dense head (STNet/SNet share it)."""
 
