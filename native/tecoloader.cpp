@@ -94,6 +94,40 @@ void teco_assemble_clip_f32(const uint8_t* blob, const int64_t* frame_offsets,
   for (auto& th : pool) th.join();
 }
 
+// Same clip assembly but keeping uint8 (normalisation happens on the TPU;
+// shipping uint8 quarters host->device transfer).
+void teco_assemble_clip_u8(const uint8_t* blob, const int64_t* frame_offsets,
+                           int32_t t, int32_t h, int32_t w, int32_t c,
+                           const int32_t* tops, const int32_t* lefts,
+                           int32_t ch, int32_t cw, uint8_t* out) {
+  const int64_t frame_out = (int64_t)ch * cw * c;
+  auto do_frame = [&](int i) {
+    const uint8_t* src_frame = blob + frame_offsets[i];
+    uint8_t* dst = out + (int64_t)i * frame_out;
+    const int top = tops[i], left = lefts[i];
+    const size_t row_bytes = (size_t)cw * c;
+    for (int r = 0; r < ch; ++r) {
+      memcpy(dst + (int64_t)r * cw * c,
+             src_frame + ((int64_t)(top + r) * w + left) * c, row_bytes);
+    }
+  };
+  const int n_threads = std::min<int>(t, 4);
+  if (t <= 2) {
+    for (int i = 0; i < t; ++i) do_frame(i);
+    return;
+  }
+  std::atomic<int> next(0);
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int th = 0; th < n_threads; ++th) {
+    pool.emplace_back([&]() {
+      int i;
+      while ((i = next.fetch_add(1)) < t) do_frame(i);
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
 // Batched uint8 copy of whole frames (used by the record writer / checker).
 void teco_copy_frames(const uint8_t* blob, const int64_t* frame_offsets,
                       int32_t t, int64_t frame_bytes, uint8_t* out) {

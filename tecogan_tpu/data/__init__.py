@@ -34,11 +34,16 @@ def create_dataloader(opt, phase: str, idx: str, n_devices: int = 1):
     degradation = opt["dataset"]["degradation"]["type"]
 
     if phase == "train":
+        import numpy as np
+
         common = dict(
             tempo_extent=opt["train"]["tempo_extent"],
             moving_first_frame=opt["train"].get("moving_first_frame", False),
             moving_factor=opt["train"].get("moving_factor", 1.0),
             filter_file=data_opt.get("filter_file"),
+            # ship uint8 to the device; the jitted step normalises —
+            # a quarter of the host->device bytes
+            output_dtype=np.uint8,
         )
         if degradation == "BI":
             dataset = PairedClipDataset(

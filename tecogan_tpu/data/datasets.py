@@ -65,8 +65,10 @@ class UnpairedClipDataset:
 
     def __init__(self, seq_dir, crop_size, tempo_extent,
                  moving_first_frame=False, moving_factor=1.0,
-                 filter_file=None, data_type="rgb"):
+                 filter_file=None, data_type="rgb",
+                 output_dtype=np.float32):
         self.store = open_store(seq_dir)
+        self.output_dtype = np.dtype(output_dtype)
         self.keys = _filter_keys(self.store.keys, filter_file)
         self.crop_size = crop_size
         self.tempo_extent = tempo_extent
@@ -104,9 +106,10 @@ class UnpairedClipDataset:
             tops = np.full(t, top, np.int32)
             lefts = np.full(t, left, np.int32)
 
-        pats = self.store.clip_f32(keys, tops, lefts, csz, csz)
+        pats = self.store.clip(keys, tops, lefts, csz, csz,
+                               self.output_dtype)
         pats = self._augment(pats, rng)
-        return {"gt": np.ascontiguousarray(pats, np.float32)}
+        return {"gt": np.ascontiguousarray(pats)}
 
     @staticmethod
     def _augment(pats, rng):
@@ -126,7 +129,9 @@ class PairedClipDataset:
 
     def __init__(self, gt_seq_dir, lr_seq_dir, scale, gt_crop_size,
                  tempo_extent, moving_first_frame=False, moving_factor=1.0,
-                 filter_file=None, data_type="rgb"):
+                 filter_file=None, data_type="rgb",
+                 output_dtype=np.float32):
+        self.output_dtype = np.dtype(output_dtype)
         self.gt_store = open_store(gt_seq_dir)
         self.lr_store = open_store(lr_seq_dir)
         gt_keys = _filter_keys(self.gt_store.keys, filter_file)
@@ -181,13 +186,14 @@ class PairedClipDataset:
             l_tops = np.full(t, top, np.int32)
             l_lefts = np.full(t, left, np.int32)
 
-        lr_pats = self.lr_store.clip_f32(lks, l_tops, l_lefts, lcsz, lcsz)
-        gt_pats = self.gt_store.clip_f32(gks, l_tops * s, l_lefts * s,
-                                         gcsz, gcsz)
+        dt = self.output_dtype
+        lr_pats = self.lr_store.clip(lks, l_tops, l_lefts, lcsz, lcsz, dt)
+        gt_pats = self.gt_store.clip(gks, l_tops * s, l_lefts * s,
+                                     gcsz, gcsz, dt)
         gt_pats, lr_pats = self._paired_augment(gt_pats, lr_pats, rng)
         return {
-            "gt": np.ascontiguousarray(gt_pats, np.float32),
-            "lr": np.ascontiguousarray(lr_pats, np.float32),
+            "gt": np.ascontiguousarray(gt_pats),
+            "lr": np.ascontiguousarray(lr_pats),
         }
 
     @staticmethod

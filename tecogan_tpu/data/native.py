@@ -48,12 +48,15 @@ def load_library():
     lib.teco_mmap_open.argtypes = [ctypes.c_char_p,
                                    ctypes.POINTER(ctypes.c_int64)]
     lib.teco_mmap_close.argtypes = [ctypes.c_void_p, ctypes.c_int64]
-    lib.teco_assemble_clip_f32.argtypes = [
+    clip_sig = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
     ]
+    lib.teco_assemble_clip_f32.argtypes = clip_sig
+    if hasattr(lib, "teco_assemble_clip_u8"):
+        lib.teco_assemble_clip_u8.argtypes = clip_sig
     _LIB = lib
     return _LIB
 
@@ -73,14 +76,17 @@ class NativeBlob:
             raise OSError(f"mmap failed: {path}")
         self.size = size.value
 
-    def assemble_clip(self, frame_offsets, h, w, c, tops, lefts, ch, cw):
-        """-> (t, ch, cw, c) float32 clip in [0, 1]."""
+    def assemble_clip(self, frame_offsets, h, w, c, tops, lefts, ch, cw,
+                      dtype=np.float32):
+        """-> (t, ch, cw, c) clip: float32 in [0, 1] or raw uint8."""
         t = len(frame_offsets)
         offs = np.ascontiguousarray(frame_offsets, np.int64)
         tops = np.ascontiguousarray(tops, np.int32)
         lefts = np.ascontiguousarray(lefts, np.int32)
-        out = np.empty((t, ch, cw, c), np.float32)
-        self.lib.teco_assemble_clip_f32(
+        out = np.empty((t, ch, cw, c), dtype)
+        fn = (self.lib.teco_assemble_clip_f32 if dtype == np.float32
+              else self.lib.teco_assemble_clip_u8)
+        fn(
             self.base,
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             t, h, w, c,

@@ -71,14 +71,21 @@ class RecordWriter:
 class _StoreBase:
     """Shared clip-assembly helper (numpy fallback path)."""
 
-    def clip_f32(self, keys, tops, lefts, ch, cw) -> np.ndarray:
+    def clip(self, keys, tops, lefts, ch, cw, dtype=np.float32) -> np.ndarray:
         """Crop one frame per key at (tops[i], lefts[i], ch, cw) and return
-        a (t, ch, cw, c) float32 clip in [0, 1]."""
+        a (t, ch, cw, c) clip: float32 in [0, 1], or raw uint8 (normalise
+        on device — a quarter of the host->device bytes)."""
         frames = []
         for key, top, left in zip(keys, tops, lefts):
             frm = self.get(key)
             frames.append(frm[top:top + ch, left:left + cw])
-        return np.stack(frames).astype(np.float32) / 255.0
+        out = np.stack(frames)
+        if dtype == np.float32:
+            return out.astype(np.float32) / 255.0
+        return out
+
+    def clip_f32(self, keys, tops, lefts, ch, cw) -> np.ndarray:
+        return self.clip(keys, tops, lefts, ch, cw, np.float32)
 
 
 class RecordStore(_StoreBase):
@@ -113,7 +120,7 @@ class RecordStore(_StoreBase):
         off, h, w, c = self._frame_offset(key)
         return self.blob[off:off + h * w * c].reshape(h, w, c)
 
-    def clip_f32(self, keys, tops, lefts, ch, cw) -> np.ndarray:
+    def clip(self, keys, tops, lefts, ch, cw, dtype=np.float32) -> np.ndarray:
         if not self._native_tried:
             self._native_tried = True
             try:
@@ -124,12 +131,13 @@ class RecordStore(_StoreBase):
             except Exception:
                 self._native = None
         if self._native is None:
-            return super().clip_f32(keys, tops, lefts, ch, cw)
+            return super().clip(keys, tops, lefts, ch, cw, dtype)
         offs, h, w, c = [], None, None, None
         for key in keys:
             off, h, w, c = self._frame_offset(key)
             offs.append(off)
-        return self._native.assemble_clip(offs, h, w, c, tops, lefts, ch, cw)
+        return self._native.assemble_clip(offs, h, w, c, tops, lefts, ch, cw,
+                                          dtype)
 
 
 class LMDBStore(_StoreBase):

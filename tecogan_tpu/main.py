@@ -113,25 +113,37 @@ def train(opt):
         start_iter = int(np.asarray(model.state["step"]))
 
     it = 0
-    for epoch in range(total_epoch):
-        for batch in train_loader.epoch(epoch):
-            it += 1
-            curr_iter = start_iter + it
-            if it > total_iter:
-                return
+    curr_iter = start_iter
+    try:
+        for epoch in range(total_epoch):
+            for batch in train_loader.epoch(epoch):
+                it += 1
+                curr_iter = start_iter + it
+                if it > total_iter:
+                    return
 
-            batch = model.prepare_training_data(batch)
-            model.train(batch)
+                batch = model.prepare_training_data(batch)
+                model.train(batch)
 
-            if log_freq > 0 and curr_iter % log_freq == 0:
-                log_info(model.get_format_msg(model.state, epoch, curr_iter))
+                if log_freq > 0 and curr_iter % log_freq == 0:
+                    log_info(model.get_format_msg(model.state, epoch,
+                                                  curr_iter))
 
-            if ckpt_freq > 0 and curr_iter % ckpt_freq == 0:
-                model.save(curr_iter)
-                model.save_training_state(model.state, curr_iter)
+                if ckpt_freq > 0 and curr_iter % ckpt_freq == 0:
+                    model.save(curr_iter)
+                    model.save_training_state(model.state, curr_iter)
 
-            if test_freq > 0 and curr_iter % test_freq == 0:
-                _run_test_sets(opt, model, f"G_iter{curr_iter}")
+                if test_freq > 0 and curr_iter % test_freq == 0:
+                    _run_test_sets(opt, model, f"G_iter{curr_iter}")
+    except BaseException:
+        # crash/preemption safety the reference lacks: persist the full
+        # training state so auto-resume continues from here
+        try:
+            model.save_training_state(model.state, curr_iter)
+            log_info(f"Emergency training state saved at iter {curr_iter}")
+        except Exception:
+            pass
+        raise
 
 
 def test(opt):
@@ -188,12 +200,22 @@ def profile(opt, lr_size: str, test_speed: bool = False):
             k3, (1, scale * h, scale * w, c), jnp.float32)
         # warmup / compile
         step_fn(params, lr_curr, lr_prev, hr_prev).block_until_ready()
+
+        import contextlib
+        import os as _os
+
+        # optional timeline capture for xprof/tensorboard
+        trace_dir = _os.environ.get("TECOGAN_TRACE_DIR")
+        trace_cm = (jax.profiler.trace(trace_dir) if trace_dir
+                    else contextlib.nullcontext())
+
         n_test = 30
-        t0 = time.time()
-        for _ in range(n_test):
-            out = step_fn(params, lr_curr, lr_prev, hr_prev)
-        out.block_until_ready()
-        dt = time.time() - t0
+        with trace_cm:
+            t0 = time.time()
+            for _ in range(n_test):
+                out = step_fn(params, lr_curr, lr_prev, hr_prev)
+            out.block_until_ready()
+            dt = time.time() - t0
         msg += (f"\nSpeed: {n_test / dt:.3f} FPS "
                 f"(averaged over {n_test} runs)\n" + "*" * 40)
 

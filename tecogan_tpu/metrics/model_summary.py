@@ -6,6 +6,11 @@ analytically (2*K_h*K_w*C_in*C_out*H_out*W_out per conv; transposed convs
 at the INPUT spatial size, matching the reference's accounting at
 `model_summary.py:47-48`), plus parameter totals. An XLA-reported FLOP
 estimate for the whole jitted step is also exposed via ``xla_cost``.
+
+Note on the published "142 GFLOPs" (benchmark.png): at 3x134x320 this tool
+— like the reference's own — reports ~94.4 G; the published figure counts
+the transposed convs at their OUTPUT size (TecoGAN-TF lineage), which adds
+~48 G. Both accountings describe the same network.
 """
 
 from __future__ import annotations
