@@ -164,7 +164,7 @@ def profile(opt, lr_size: str, test_speed: bool = False):
     import jax
     import jax.numpy as jnp
 
-    from .models.networks import define_generator, init_frnet, step
+    from .models.networks import define_generator, step
 
     print_options(opt["model"]["generator"])
     c, h, w = map(int, lr_size.split("x"))
@@ -186,18 +186,29 @@ def profile(opt, lr_size: str, test_speed: bool = False):
         tot_p += params_cnt[name]
     msg += f'\n{"-" * 40}\nOverall'
     msg += f"\n    FLOPs (10^9): {tot_g:.3f}"
-    msg += f"\n    Parameters (10^6): {tot_p / 1e6:.3f}\n" + "*" * 40
+    msg += f"\n    Parameters (10^6): {tot_p / 1e6:.3f}"
+
+    import functools
+
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    lr_curr = jax.random.uniform(k1, (1, h, w, c), jnp.float32)
+    lr_prev = jax.random.uniform(k2, (1, h, w, c), jnp.float32)
+    hr_prev = jax.random.uniform(
+        k3, (1, scale * h, scale * w, c), jnp.float32)
+
+    # XLA's own cost analysis of the jitted step (compiler ground truth)
+    from .metrics import xla_cost
+
+    cost = xla_cost(functools.partial(step, cfg=cfg), params, lr_curr,
+                    lr_prev, hr_prev)
+    if cost and cost.get("flops") == cost.get("flops"):  # not NaN
+        msg += (f"\n    XLA cost analysis: {cost['flops'] / 1e9:.3f} GFLOPs, "
+                f"{cost['bytes_accessed'] / 1e9:.3f} GB accessed")
+    msg += "\n" + "*" * 40
 
     if test_speed:
-        import functools
-
         step_fn = jax.jit(functools.partial(step, cfg=cfg))
-        key = jax.random.PRNGKey(1)
-        k1, k2, k3 = jax.random.split(key, 3)
-        lr_curr = jax.random.uniform(k1, (1, h, w, c), jnp.float32)
-        lr_prev = jax.random.uniform(k2, (1, h, w, c), jnp.float32)
-        hr_prev = jax.random.uniform(
-            k3, (1, scale * h, scale * w, c), jnp.float32)
         # warmup / compile
         step_fn(params, lr_curr, lr_prev, hr_prev).block_until_ready()
 
