@@ -28,8 +28,8 @@ def _reduce(x, reduction: str):
 
 def charbonnier(x, y, eps: float = 1e-6, reduction: str = "mean"):
     """Robust L1: sqrt(diff^2 + eps) (`losses.py:31-50`; note eps inside
-    the sqrt, un-squared, matching the reference)."""
-    d = x - y
+    the sqrt, un-squared, matching the reference). Accumulates in fp32."""
+    d = x.astype(jnp.float32) - y.astype(jnp.float32)
     return _reduce(jnp.sqrt(d * d + eps), reduction)
 
 
@@ -39,6 +39,8 @@ def cosine_similarity_loss(x, y, eps: float = 1e-8):
     The reference computes torch cosine_similarity over dim=1 of NCHW
     (`losses.py:53-62`), i.e. the channel axis.
     """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     dot = jnp.sum(x * y, axis=-1)
     nx = jnp.maximum(jnp.linalg.norm(x, axis=-1), eps)
     ny = jnp.maximum(jnp.linalg.norm(y, axis=-1), eps)
@@ -46,7 +48,9 @@ def cosine_similarity_loss(x, y, eps: float = 1e-8):
 
 
 def _bce_with_logits(logits, target):
-    # numerically stable BCEWithLogits
+    # numerically stable BCEWithLogits (fp32)
+    logits = logits.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     return (jnp.maximum(logits, 0.0) - logits * target
             + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 
@@ -57,6 +61,7 @@ def vanilla_gan_loss(logits, is_real: bool, reduction: str = "mean"):
 
 
 def lsgan_loss(logits, is_real: bool, reduction: str = "mean"):
+    logits = logits.astype(jnp.float32)
     target = jnp.full_like(logits, float(bool(is_real)))
     return _reduce(jnp.square(logits - target), reduction)
 
@@ -67,10 +72,11 @@ def define_criterion(crit_opt):
         return None
     ctype = crit_opt["type"]
     red = crit_opt.get("reduction", "mean")
+    f32 = lambda v: v.astype(jnp.float32)
     if ctype == "MSE":
-        return lambda x, y: _reduce(jnp.square(x - y), red)
+        return lambda x, y: _reduce(jnp.square(f32(x) - f32(y)), red)
     if ctype == "L1":
-        return lambda x, y: _reduce(jnp.abs(x - y), red)
+        return lambda x, y: _reduce(jnp.abs(f32(x) - f32(y)), red)
     if ctype == "CB":
         return lambda x, y: charbonnier(x, y, reduction=red)
     if ctype == "CosineSimilarity":

@@ -56,6 +56,9 @@ class TrainConfig(NamedTuple):
     update_policy: str = "adaptive"
     update_threshold: float = 0.4
     crop_border_ratio: float = 0.75
+    # opt-in bf16 compute for the forward/backward passes (params, optimizer
+    # and all loss/BN-statistic accumulation stay fp32)
+    mixed_precision: bool = False
 
 
 def make_train_config(opt) -> TrainConfig:
@@ -80,17 +83,22 @@ def make_train_config(opt) -> TrainConfig:
         update_policy=d_opt.get("update_policy", "adaptive"),
         update_threshold=d_opt.get("update_threshold", 0.4),
         crop_border_ratio=d_opt.get("crop_border_ratio", 1.0),
+        mixed_precision=t.get("mixed_precision", False),
     )
 
 
-def normalize_batch(batch):
+def normalize_batch(batch, compute_dtype=jnp.float32):
     """uint8 batches are normalised on device (cheap; saves 4x H2D)."""
     def norm(x):
         if x.dtype == jnp.uint8:
-            return x.astype(jnp.float32) / 255.0
-        return x
+            return x.astype(compute_dtype) / 255.0
+        return x.astype(compute_dtype)
 
     return {k: norm(v) for k, v in batch.items()}
+
+
+def _compute_dtype(tcfg):
+    return jnp.bfloat16 if tcfg.mixed_precision else jnp.float32
 
 
 def prepare_bd_batch(gt, scale: int, sigma: float):
@@ -132,7 +140,8 @@ FRVSR_LOG_KEYS = ("l_pix_G", "l_warp_G")
 def frvsr_train_step(state, batch, *, cfg_g, tcfg: TrainConfig, tx_g,
                      log_decay: float = 0.99):
     """One FRVSR iteration (`vsr_model.py:61-95`): pixel + warping loss."""
-    batch = normalize_batch(batch)
+    dt = _compute_dtype(tcfg)
+    batch = normalize_batch(batch, dt)
     if tcfg.degradation == "BD" and "lr" not in batch:
         gt, lr = prepare_bd_batch(batch["gt"], tcfg.scale, tcfg.sigma)
     else:
@@ -144,6 +153,10 @@ def frvsr_train_step(state, batch, *, cfg_g, tcfg: TrainConfig, tx_g,
     warp_w = tcfg.warping_crit.get("weight", 1.0) if tcfg.warping_crit else 0.0
 
     def loss_fn(params):
+        from .. import nn
+
+        if tcfg.mixed_precision:
+            params = nn.cast_params(params, dt)
         out = forward_sequence(params, lr, cfg_g)
         l_pix = pix_w * pix_crit(out["hr_data"], gt)
         logs = {"l_pix_G": l_pix}
@@ -195,7 +208,8 @@ TECOGAN_LOG_KEYS = (
 def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
                        tx_g, tx_d, vgg_params=None, log_decay: float = 0.99):
     """One TecoGAN iteration (`vsrgan_model.py:98-286`)."""
-    batch = normalize_batch(batch)
+    dt = _compute_dtype(tcfg)
+    batch = normalize_batch(batch, dt)
     if tcfg.degradation == "BD" and "lr" not in batch:
         gt, lr = prepare_bd_batch(batch["gt"], tcfg.scale, tcfg.sigma)
     else:
@@ -222,8 +236,14 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
         lr, gt, bi = dbl(lr), dbl(gt), dbl(bi)
 
     # === G forward (once; reused by D phase and G losses) ===
-    out, g_vjp = jax.vjp(
-        lambda pg: forward_sequence(pg, lr, cfg_g), state["g"])
+    from .. import nn
+
+    def g_fwd(pg):
+        if tcfg.mixed_precision:
+            pg = nn.cast_params(pg, dt)
+        return forward_sequence(pg, lr, cfg_g)
+
+    out, g_vjp = jax.vjp(g_fwd, state["g"])
     hr = out["hr_data"]
     hr_sg = jax.lax.stop_gradient(hr)
 
@@ -244,14 +264,23 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
             jax.lax.stop_gradient(out["hr_flow"]), lr,
             jax.lax.stop_gradient(state["g"]["fnet"]), cfg_d, use_pp)
 
+    def _cast_d(pd):
+        # cast conv/dense weights; BN running stats stay fp32 (they are
+        # replaced wholesale from the forward outputs)
+        return nn.cast_params(pd, dt)
+
     # === D phase: real & fake forwards with the current D ===
+    d_run = _cast_d(state["d"]) if tcfg.mixed_precision else state["d"]
     real_logits, real_feats, _, pd1 = d_apply(
-        state["d"], gt, ctx, cfg_d, train=True)
+        d_run, gt, ctx, cfg_d, train=True)
     fake_logits, _, _, pd2 = d_apply(pd1, hr_sg, ctx, cfg_d, train=True)
 
-    # adaptive update vote: global means -> identical verdict on every replica
-    logged_real = jnp.mean(jnp.log(jax.nn.sigmoid(real_logits) + 1e-8))
-    logged_fake = jnp.mean(jnp.log(jax.nn.sigmoid(fake_logits) + 1e-8))
+    # adaptive update vote: global means -> identical verdict on every
+    # replica (fp32 regardless of compute dtype)
+    rl32 = real_logits.astype(jnp.float32)
+    fl32 = fake_logits.astype(jnp.float32)
+    logged_real = jnp.mean(jnp.log(jax.nn.sigmoid(rl32) + 1e-8))
+    logged_fake = jnp.mean(jnp.log(jax.nn.sigmoid(fl32) + 1e-8))
     distance = logged_real - logged_fake
     if tcfg.update_policy == "adaptive":
         upd_d = distance < tcfg.update_threshold
@@ -259,6 +288,8 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
         upd_d = jnp.asarray(True)
 
     def d_loss_fn(pd):
+        if tcfg.mixed_precision:
+            pd = _cast_d(pd)
         rl, _, _, _ = d_apply(pd, gt, ctx, cfg_d, train=True)
         fl, _, _, _ = d_apply(pd, hr_sg, ctx, cfg_d, train=True)
         return gan_crit(rl, True) + gan_crit(fl, False)
@@ -318,6 +349,8 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
             loss += l_pp
             logs["l_pp_G"] = l_pp
         # fresh D forward on non-detached hr (updates BN stats a 3rd time)
+        if tcfg.mixed_precision:
+            pd = _cast_d(pd)
         fake_g_logits, fake_g_feats, _, pd3 = d_apply(
             pd, hr_g, ctx, cfg_d, train=True)
         if fm_crit is not None:
@@ -345,8 +378,8 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
 
     logs = {
         "l_gan_D": loss_d,
-        "p_real_D": jnp.mean(real_logits),
-        "p_fake_D": jnp.mean(fake_logits),
+        "p_real_D": jnp.mean(rl32),
+        "p_fake_D": jnp.mean(fl32),
         "distance": distance,
         "n_upd_D": cnt_upd,
         **g_logs,

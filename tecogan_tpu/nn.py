@@ -213,8 +213,10 @@ def batch_norm(p, x, train: bool, eps: float = 1e-5, momentum: float = 0.1):
     """
     if train:
         axes = (0, 1, 2)
-        mean = jnp.mean(x, axes)
-        var = jnp.mean(jnp.square(x - mean), axes)
+        # statistics always accumulate in fp32 (bf16 means drift)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axes)
+        var = jnp.mean(jnp.square(xf - mean), axes)
         n = x.shape[0] * x.shape[1] * x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         # torch running-stat EMAs: mean uses batch mean, var the unbiased var
@@ -226,11 +228,13 @@ def batch_norm(p, x, train: bool, eps: float = 1e-5, momentum: float = 0.1):
             jnp.float32
         )
     else:
-        mean, var = p["mean"].astype(x.dtype), p["var"].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        mean, var = p["mean"].astype(jnp.float32), p["var"].astype(jnp.float32)
         new_p = p
     inv = jax.lax.rsqrt(var + eps)
-    y = (x - mean) * inv * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
-    return y, new_p
+    y = (xf - mean) * inv * p["scale"].astype(jnp.float32) + p[
+        "bias"].astype(jnp.float32)
+    return y.astype(x.dtype), new_p
 
 
 def max_pool_2x2(x):

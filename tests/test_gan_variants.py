@@ -72,3 +72,24 @@ def test_bi_gan_step_with_fm_loss(rng):
     assert np.isfinite(float(logs["l_fm_G"]))
     assert float(logs["l_fm_G"]) != 0.0
     assert np.isfinite(float(logs["l_gan_G"]))
+
+
+def test_mixed_precision_gan_step(rng):
+    """bf16 compute path: step runs, losses finite, fp32 params updated."""
+    cfg_g = FRNetConfig(nf=8, nb=2, scale=4, degradation="BD")
+    cfg_d = SNetConfig(spatial_size=32, use_cond=True)
+    tcfg = TrainConfig(
+        scale=4, degradation="BD", sigma=1.5, tempo_extent=3,
+        pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},
+        warping_crit={"type": "CB", "weight": 1, "reduction": "mean"},
+        pingpong_crit={"type": "CB", "weight": 0.5, "reduction": "mean"},
+        gan_crit={"type": "GAN", "weight": 0.01, "reduction": "mean"},
+        update_policy="always", mixed_precision=True)
+    batch = {"gt": (rng.random((8, 3, 40, 40, 3)) * 255).astype(np.uint8)}
+    state, logs = _run_step(cfg_g, cfg_d, tcfg, batch, rng)
+    for k in ("l_pix_G", "l_gan_D", "l_gan_G", "distance"):
+        assert np.isfinite(float(logs[k])), k
+    # master params stay fp32
+    import jax.numpy as jnp
+    for leaf in jax.tree.leaves(state["g"]):
+        assert leaf.dtype == jnp.float32
