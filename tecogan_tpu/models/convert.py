@@ -34,35 +34,37 @@ def load_state_dict(path):
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: v.numpy() for k, v in sd.items()}
+    # np.array(copy=True): tensor.numpy() returns a VIEW of torch storage;
+    # a zero-copy jax.Array over it would alias mutable torch memory
+    return {k: np.array(v.numpy()) for k, v in sd.items()}
 
 
 def _conv(sd, name):
     p = {"w": np.ascontiguousarray(sd[f"{name}.weight"].transpose(2, 3, 1, 0))}
     if f"{name}.bias" in sd:
-        p["b"] = sd[f"{name}.bias"]
+        p["b"] = np.array(sd[f"{name}.bias"])
     return p
 
 
 def _convt(sd, name):
     w = sd[f"{name}.weight"]  # (in, out, kh, kw)
     w = w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)  # flip, -> (kh, kw, in, out)
-    return {"w": np.ascontiguousarray(w), "b": sd[f"{name}.bias"]}
+    return {"w": np.ascontiguousarray(w), "b": np.array(sd[f"{name}.bias"])}
 
 
 def _dense_from_nchw(sd, name, c, h, w):
     wt = sd[f"{name}.weight"]  # (dout, c*h*w)
     dout = wt.shape[0]
     wt = wt.reshape(dout, c, h, w).transpose(0, 2, 3, 1).reshape(dout, -1)
-    return {"w": np.ascontiguousarray(wt.T), "b": sd[f"{name}.bias"]}
+    return {"w": np.ascontiguousarray(wt.T), "b": np.array(sd[f"{name}.bias"])}
 
 
 def _bn(sd, name):
     return {
-        "scale": sd[f"{name}.weight"],
-        "bias": sd[f"{name}.bias"],
-        "mean": sd[f"{name}.running_mean"],
-        "var": sd[f"{name}.running_var"],
+        "scale": np.array(sd[f"{name}.weight"]),
+        "bias": np.array(sd[f"{name}.bias"]),
+        "mean": np.array(sd[f"{name}.running_mean"]),
+        "var": np.array(sd[f"{name}.running_var"]),
     }
 
 
@@ -175,6 +177,6 @@ def convert_vgg19(sd):
         p[f"conv{ci}"] = {
             "w": np.ascontiguousarray(
                 sd[f"features.{seq_idx}.weight"].transpose(2, 3, 1, 0)),
-            "b": sd[f"features.{seq_idx}.bias"],
+            "b": np.array(sd[f"features.{seq_idx}.bias"]),
         }
     return p

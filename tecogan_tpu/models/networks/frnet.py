@@ -113,7 +113,7 @@ def _sr_step(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev, hr_flow,
     hr_warp = warp_fn(hr_prev, hr_flow)
     return srnet_apply(
         srnet_params, lr_curr, space_to_depth(hr_warp, cfg.scale),
-        cfg.upsample_fn, cfg.nb, cfg.scale)
+        cfg.nb, cfg.scale, cfg.degradation)
 
 
 # --------------------------------------------------------------------------

@@ -8,7 +8,14 @@ Behavioural spec from the reference (`tecogan_nets.py:85-147`):
   (k=3, s=2, p=1, op=1) each followed by ReLU;
 - output conv + global residual: the bicubic/bilinear-upsampled lr frame.
 
-NHWC throughout; the upsample_fn is injected (degradation-dependent).
+TPU-native tail: the LAST upsampling stage stays in the PACKED (pre-
+interleave sub-pixel) domain — the trailing ReLU, the 3x3 output conv
+(re-expressed over packed channels via ``nn.pack_conv3x3_kernel``) and the
+global residual (phase-decomposed operator matrices) all run at HALF the
+output resolution with full-lane channel counts. Profiling showed the naive
+HR tail (ReLU + 3-channel conv at full resolution) costs ~2.7 ms/frame in
+relayouts and 3-lane convs; the packed tail is numerically exact and avoids
+materialising the HR image until one final depth_to_space.
 """
 
 from __future__ import annotations
@@ -17,11 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from ... import nn
+from ...ops import depth_to_space
+from ...ops.resize import apply_separable, resize_matrix
 
 
 def init_srnet(key, in_nc: int = 3, out_nc: int = 3, nf: int = 64,
                nb: int = 10, scale: int = 4):
-    params = {"_meta": {}}
+    params = {}
     keys = iter(jax.random.split(key, 4 + 2 * nb + 2))
     params["conv_in"] = nn.init_conv(
         next(keys), 3, 3, (scale ** 2 + 1) * in_nc, nf)
@@ -32,12 +41,47 @@ def init_srnet(key, in_nc: int = 3, out_nc: int = 3, nf: int = 64,
     for ui in range(n_up):
         params[f"up{ui}"] = nn.init_conv_transpose(next(keys), 3, 3, nf, nf)
     params["conv_out"] = nn.init_conv(next(keys), 3, 3, nf, out_nc)
-    params.pop("_meta")
     return params
 
 
+def _upsample_mode(degradation: str) -> str:
+    return "bilinear_half_pixel" if degradation == "BI" else "tecogan_bicubic"
+
+
+def _residual_packed(lr, scale: int, degradation: str):
+    """Global residual upsample emitted directly in the packed-2x layout.
+
+    Returns (n, s*h/2, s*w/2, 4*c) with channel = (r*2+t)*c + ch, equal to
+    space_to_depth(upsample(lr), 2). The vertical pass is one operator-
+    matrix matmul; the horizontal pass is arranged with the OUTPUT width in
+    the minor dimension (full lanes) and phases split by free reshapes.
+    """
+    n, h, w, c = lr.shape
+    mode = _upsample_mode(degradation)
+    mh = jnp.asarray(resize_matrix(mode, h, scale=scale), lr.dtype)
+    mw = jnp.asarray(resize_matrix(mode, w, scale=scale), lr.dtype)
+    sh, sw = scale * h, scale * w
+
+    v = jnp.einsum("Oh,nhwc->nOwc", mh, lr)          # (n, sh, w, c)
+    v = v.reshape(n, sh // 2, 2, w, c)               # rows -> (cell, phase)
+    hz = jnp.einsum("Pw,nUrwc->nUrcP", mw, v)        # (n, U, 2, c, sw)
+    hz = hz.reshape(n, sh // 2, 2, c, sw // 2, 2)
+    # -> (n, U, V, r, t, c) -> (n, U, V, 4c)
+    out = hz.transpose(0, 1, 4, 2, 5, 3)
+    return out.reshape(n, sh // 2, sw // 2, 4 * c)
+
+
+def upsample_residual(lr, scale: int, degradation: str):
+    """Reference-layout (HR NHWC) global residual, for the non-packed path."""
+    mode = _upsample_mode(degradation)
+    mh = resize_matrix(mode, lr.shape[-3], scale=scale)
+    mw = resize_matrix(mode, lr.shape[-2], scale=scale)
+    return apply_separable(lr, mh, mw)
+
+
 def srnet_apply(params, lr_curr: jnp.ndarray, hr_prev_packed: jnp.ndarray,
-                upsample_fn, nb: int, scale: int) -> jnp.ndarray:
+                nb: int, scale: int, degradation: str,
+                packed_tail: bool = True) -> jnp.ndarray:
     """lr_curr (n,h,w,c) + hr_prev_packed (n,h,w,s*s*c) -> hr (n,sh,sw,c)."""
     out = jnp.concatenate([lr_curr, hr_prev_packed], axis=-1)
     out = nn.relu(nn.conv2d(params["conv_in"], out, padding=1))
@@ -46,7 +90,21 @@ def srnet_apply(params, lr_curr: jnp.ndarray, hr_prev_packed: jnp.ndarray,
         res = nn.conv2d(params[f"res{bi}_1"], res, padding=1)
         out = out + res
     n_up = 2 if scale == 4 else 1
-    for ui in range(n_up):
+    for ui in range(n_up - 1):
         out = nn.relu(nn.conv2d_transpose(params[f"up{ui}"], out))
-    out = nn.conv2d(params["conv_out"], out, padding=1)
-    return out + upsample_fn(lr_curr)
+
+    if not packed_tail:
+        out = nn.relu(nn.conv2d_transpose(params[f"up{n_up - 1}"], out))
+        out = nn.conv2d(params["conv_out"], out, padding=1)
+        return out + upsample_residual(lr_curr, scale, degradation)
+
+    # packed tail: ReLU, output conv and residual at half resolution
+    outp = nn.relu(nn.conv2d_transpose_packed(params[f"up{n_up - 1}"], out))
+    w_packed = nn.pack_conv3x3_kernel(params["conv_out"]["w"])
+    outp = jax.lax.conv_general_dilated(
+        outp, w_packed.astype(outp.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    outp = outp + jnp.tile(params["conv_out"]["b"], 4).astype(outp.dtype)
+    outp = outp + _residual_packed(lr_curr, scale, degradation).astype(
+        outp.dtype)
+    return depth_to_space(outp, 2)

@@ -142,27 +142,17 @@ def conv2d(p, x, stride: int = 1, padding: int | str = "SAME"):
     return y
 
 
-def conv2d_transpose(p, x, stride: int = 2, padding: int = 1,
-                     output_padding: int = 1):
-    """NHWC transposed conv == torch ConvTranspose2d(3, 2, 1, output_padding=1)
-    with the kernel stored pre-converted to the equivalent fractionally-
-    strided conv's HWIO layout (spatially flipped at load time).
+def conv2d_transpose_packed(p, x):
+    """Sub-pixel form of the (3,2,1,op=1) transposed conv WITHOUT the phase
+    interleave: returns (n, h, w, 4*cout) with channel = (py*2+px)*cout + co.
 
-    TPU-native lowering: instead of a zero-stuffed (lhs-dilated) convolution
-    at the OUTPUT resolution — slow on the MXU and 2.25x more MACs — the op
-    is decomposed into its four output phases, each a 2x2 convolution at the
-    INPUT resolution, interleaved with depth_to_space (sub-pixel / pixel-
-    shuffle form). Exact same numerics; parity is tested against torch.
-
-    Only the (k=3, s=2, p=1, op=1) geometry used by SRNet is supported.
+    Keeping the result packed lets the consumer (packed conv_out, packed
+    residual add) run at the input resolution with full-lane channel counts;
+    depth_to_space happens once at the very end of the SR tail.
     """
-    assert stride == 2 and padding == 1 and output_padding == 1
     w = p["w"]  # flipped HWIO (3, 3, cin, cout)
     assert w.shape[0] == 3 and w.shape[1] == 3
     cin, cout = w.shape[2], w.shape[3]
-
-    # per-axis tap->kernel-index map for phase 0/1 of the dilated conv:
-    #   phase 0 reads only the centre tap (j=1); phase 1 reads taps j=0, j=2
     zero = jnp.zeros((cin, cout), w.dtype)
 
     def tap(py, ty, px, tx):
@@ -172,14 +162,12 @@ def conv2d_transpose(p, x, stride: int = 2, padding: int = 1,
             return zero
         return w[jy, jx]
 
-    # build (2, 2, cin, 4*cout) with phase (dy*2+dx) leading in the output
-    # channel factor (matches depth_to_space ordering)
     phases = []
     for py in range(2):
         for px in range(2):
             k = jnp.stack([
                 jnp.stack([tap(py, ty, px, tx) for tx in range(2)], 0)
-                for ty in range(2)], 0)  # (2, 2, cin, cout)
+                for ty in range(2)], 0)
             phases.append(k)
     w_sub = jnp.concatenate(phases, axis=-1)  # (2, 2, cin, 4*cout)
 
@@ -190,12 +178,62 @@ def conv2d_transpose(p, x, stride: int = 2, padding: int = 1,
         padding=((0, 1), (0, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    # interleave phases: (n, h, w, 4*cout) -> (n, 2h, 2w, cout)
+    if "b" in p:
+        b = jnp.tile(p["b"], 4)
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def pack_conv3x3_kernel(w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """Re-express a 3x3 conv over a 2x grid as a conv over the PACKED
+    (h, w, 4*cin) representation: returns a (3, 3, 4*cin, 4*cout) kernel.
+
+    Packed channel convention (both in and out): (py*2+px)*c + ch.
+    For output phase (py, px) and grid tap (tY, tX), the HR tap is
+    dy = 2*tY + ry - py (valid when in [-1, 1]); zero otherwise. Exact
+    numerics; built with traceable ops so gradients flow to w_hwio.
+    """
+    kh, kw, cin, cout = w_hwio.shape
+    assert kh == 3 and kw == 3
+    zero = jnp.zeros((cin, cout), w_hwio.dtype)
+    # out kernel: [tY, tX, (ry*2+rx)*cin + ci, (py*2+px)*cout + co]
+    rows = []
+    for ty in range(3):
+        cols = []
+        for tx in range(3):
+            in_blocks = []
+            for ry in range(2):
+                for rx in range(2):
+                    out_blocks = []
+                    for py in range(2):
+                        for px in range(2):
+                            dy = 2 * (ty - 1) + ry - py
+                            dx = 2 * (tx - 1) + rx - px
+                            if -1 <= dy <= 1 and -1 <= dx <= 1:
+                                out_blocks.append(w_hwio[dy + 1, dx + 1])
+                            else:
+                                out_blocks.append(zero)
+                    in_blocks.append(jnp.concatenate(out_blocks, axis=-1))
+            cols.append(jnp.concatenate(in_blocks, axis=0))
+        rows.append(jnp.stack(cols, 0))
+    return jnp.stack(rows, 0)  # (3, 3, 4*cin, 4*cout)
+
+
+def conv2d_transpose(p, x, stride: int = 2, padding: int = 1,
+                     output_padding: int = 1):
+    """NHWC transposed conv == torch ConvTranspose2d(3, 2, 1, output_padding=1)
+    with the kernel stored pre-converted to the equivalent fractionally-
+    strided conv's HWIO layout (spatially flipped at load time).
+
+    TPU-native lowering: sub-pixel decomposition (see conv2d_transpose_packed)
+    followed by the phase interleave. Exact torch numerics (tested).
+    """
+    assert stride == 2 and padding == 1 and output_padding == 1
+    cout = p["w"].shape[3]
+    y = conv2d_transpose_packed(p, x)
     n, h, ww_, _ = y.shape
     y = y.reshape(n, h, ww_, 2, 2, cout)
     y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * ww_, cout)
-    if "b" in p:
-        y = y + p["b"].astype(x.dtype)
     return y
 
 

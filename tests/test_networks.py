@@ -19,7 +19,7 @@ from tecogan_tpu.models.networks import (
     vgg19_features,
 )
 from tecogan_tpu.models.networks.discriminators import _trunk_apply
-from tecogan_tpu.ops import get_upsampling_fn
+
 
 from torch_oracles import (
     TorchDTrunk,
@@ -64,9 +64,8 @@ def test_srnet_parity(rng, scale, degradation):
     lr = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
     packed = rng.standard_normal((2, 8, 8, scale * scale * 3)).astype(
         np.float32)
-    up = get_upsampling_fn(scale, degradation)
     got = np.asarray(srnet_apply(params, jnp.asarray(lr), jnp.asarray(packed),
-                                 up, nb, scale))
+                                 nb, scale, degradation))
     want = tnet(torch.from_numpy(to_nchw(lr)),
                 torch.from_numpy(to_nchw(packed)),
                 torch_upsample_fn(scale, degradation)).numpy()

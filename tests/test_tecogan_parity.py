@@ -35,6 +35,7 @@ def _bce(logits, real):
 
 
 def test_tecogan_gan_step_matches_torch(rng):
+    torch.manual_seed(0)  # deterministic oracle weights
     nb, nf, scale, size = 1, 8, 4, 32
     te = 3  # tempo_extent -> 5 frames after ping-pong, one 3-frame clip
     lr_rate = 1e-3

@@ -28,6 +28,7 @@ def _charbonnier(x, y):
 
 
 def test_frvsr_step_matches_torch(rng):
+    torch.manual_seed(0)  # deterministic oracle weights
     nb, nf, scale = 2, 16, 4
     cfg_g = FRNetConfig(nf=nf, nb=nb, scale=scale, degradation="BD",
                         remat=False)
