@@ -27,7 +27,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ...ops import backward_warp, get_upsampling_fn, space_to_depth
+from ...ops import (backward_warp, depth_to_space, get_upsampling_fn,
+                    space_to_depth)
 from .fnet import fnet_apply, init_fnet
 from .srnet import init_srnet, srnet_apply
 
@@ -89,18 +90,21 @@ def _hr_flow(cfg: FRNetConfig, lr_flow: jnp.ndarray, h: int, w: int):
     return cfg.scale * cfg.upsample_fn(lr_flow)
 
 
+def _pallas_ok(cfg: FRNetConfig, c: int, hh: int, ww: int) -> bool:
+    """Pallas warp applies on TPU when the padded fp32 image fits VMEM."""
+    if not cfg.pallas_warp or jax.default_backend() != "tpu":
+        return False
+    return c * (hh + 48) * (ww + 384) * 4 <= 12 * 2 ** 20
+
+
 def _inference_warp(cfg: FRNetConfig):
     """Warp impl for inference: the Pallas kernel on TPU when the padded
     image fits VMEM (it is ~5x faster than XLA's gather), else the gather.
     Training always uses the gather warp (differentiable)."""
-    if not cfg.pallas_warp or jax.default_backend() != "tpu":
-        return backward_warp
     from ...ops.warp_pallas import backward_warp_pallas
 
     def warp(x, flow):
-        c_, h_, w_ = x.shape[-1], x.shape[-3], x.shape[-2]
-        vmem_bytes = c_ * (h_ + 48) * (w_ + 384) * x.dtype.itemsize
-        if vmem_bytes > 12 * 2 ** 20:
+        if not _pallas_ok(cfg, x.shape[-1], x.shape[-3], x.shape[-2]):
             return backward_warp(x, flow)
         return backward_warp_pallas(x, flow)
 
@@ -114,6 +118,28 @@ def _sr_step(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev, hr_flow,
     return srnet_apply(
         srnet_params, lr_curr, space_to_depth(hr_warp, cfg.scale),
         cfg.nb, cfg.scale, cfg.degradation)
+
+
+def _sr_step_p2(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev_p2,
+                hr_flow, use_pallas: bool):
+    """Packed-carry recurrence step (streaming inference): the previous HR
+    frame stays in the SR tail's packed-2x layout; the Pallas warp reads it
+    and emits conv_in's space_to_depth layout directly — the HR NHWC image
+    never materialises inside the loop."""
+    if use_pallas:
+        from ...ops.warp_pallas import backward_warp_pallas_packed
+
+        packed_in = backward_warp_pallas_packed(hr_prev_p2, hr_flow,
+                                                cfg.scale)
+    else:
+        from ...ops import depth_to_space
+
+        hr_prev = depth_to_space(hr_prev_p2, 2)
+        packed_in = space_to_depth(backward_warp(hr_prev, hr_flow),
+                                   cfg.scale)
+    return srnet_apply(
+        srnet_params, lr_curr, packed_in, cfg.nb, cfg.scale,
+        cfg.degradation, return_packed=True)
 
 
 # --------------------------------------------------------------------------
@@ -228,31 +254,35 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
     # (n_chunks, chunk, n, h, w, c)
     lr_chunks = jnp.moveaxis(
         lr_seqs.reshape(n, n_chunks, chunk, h, w, c), 0, 2)
-    warp_fn = _inference_warp(cfg)
+    use_pallas = _pallas_ok(cfg, cfg.out_nc, s * h, s * w)
 
     def outer(carry, lr_chunk):
-        lr_prev0, hr_prev0 = carry
+        lr_prev0, hr_prev0_p2 = carry
         prevs = jnp.concatenate([lr_prev0[None], lr_chunk[:-1]], axis=0)
         flat = lambda x: x.reshape(chunk * n, h, w, c)
         lr_flow = fnet_apply(params["fnet"], flat(lr_chunk), flat(prevs))
         hr_flow = _hr_flow(cfg, lr_flow, h, w)
         hr_flow = hr_flow.reshape(chunk, n, s * h, s * w, 2)
 
-        def inner(hr_prev, inp):
+        def inner(hr_prev_p2, inp):
             lr_i, flow_i = inp
-            hr_i = _sr_step(cfg, params["srnet"], lr_i, hr_prev, flow_i,
-                            warp_fn=warp_fn)
-            return hr_i, hr_i
+            hr_i_p2 = _sr_step_p2(cfg, params["srnet"], lr_i, hr_prev_p2,
+                                  flow_i, use_pallas)
+            return hr_i_p2, hr_i_p2
 
-        _, hr_chunk = jax.lax.scan(inner, hr_prev0, (lr_chunk, hr_flow))
-        out = jnp.clip(
-            jnp.round(hr_chunk.astype(jnp.float32) * 255.0), 0, 255
+        _, hr_chunk_p2 = jax.lax.scan(inner, hr_prev0_p2,
+                                      (lr_chunk, hr_flow))
+        # quantise in the (4x smaller) packed layout; interleave as uint8
+        out_p2 = jnp.clip(
+            jnp.round(hr_chunk_p2.astype(jnp.float32) * 255.0), 0, 255
         ).astype(jnp.uint8)
-        return (lr_chunk[-1], hr_chunk[-1]), out
+        out = depth_to_space(out_p2, 2)
+        return (lr_chunk[-1], hr_chunk_p2[-1]), out
 
     carry0 = (
         jnp.zeros((n, h, w, c), lr_seqs.dtype),
-        jnp.zeros((n, s * h, s * w, cfg.out_nc), lr_seqs.dtype),
+        jnp.zeros((n, s * h // 2, s * w // 2, 4 * cfg.out_nc),
+                  lr_seqs.dtype),
     )
     _, out = jax.lax.scan(outer, carry0, lr_chunks)
     # (n_chunks, chunk, n, H, W, c) -> (n, t, H, W, c)

@@ -81,8 +81,12 @@ def upsample_residual(lr, scale: int, degradation: str):
 
 def srnet_apply(params, lr_curr: jnp.ndarray, hr_prev_packed: jnp.ndarray,
                 nb: int, scale: int, degradation: str,
-                packed_tail: bool = True) -> jnp.ndarray:
-    """lr_curr (n,h,w,c) + hr_prev_packed (n,h,w,s*s*c) -> hr (n,sh,sw,c)."""
+                packed_tail: bool = True,
+                return_packed: bool = False) -> jnp.ndarray:
+    """lr_curr (n,h,w,c) + hr_prev_packed (n,h,w,s*s*c) -> hr (n,sh,sw,c),
+    or the packed-2x form (n,sh/2,sw/2,4c) when ``return_packed`` (used by
+    the streaming recurrence, which warps straight from the packed layout).
+    """
     out = jnp.concatenate([lr_curr, hr_prev_packed], axis=-1)
     out = nn.relu(nn.conv2d(params["conv_in"], out, padding=1))
     for bi in range(nb):
@@ -107,4 +111,6 @@ def srnet_apply(params, lr_curr: jnp.ndarray, hr_prev_packed: jnp.ndarray,
     outp = outp + jnp.tile(params["conv_out"]["b"], 4).astype(outp.dtype)
     outp = outp + _residual_packed(lr_curr, scale, degradation).astype(
         outp.dtype)
+    if return_packed:
+        return outp
     return depth_to_space(outp, 2)

@@ -112,10 +112,11 @@ def _warp_kernel(sy_ref, sx_ref, img_ref, out_ref, *, c: int, th: int,
     jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, 0)
 
 
-def backward_warp_pallas(x: jnp.ndarray, flow: jnp.ndarray,
-                         interpret: bool = False) -> jnp.ndarray:
-    """Drop-in replacement for ops.warp.backward_warp (NHWC in/out)."""
-    n, h, w, c = x.shape
+def _warp_planes(planes: jnp.ndarray, flow: jnp.ndarray,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Core: channel-major planes (n, c, h, w) + flow (n, h, w, 2) ->
+    warped fp32 planes (n, c, h, w)."""
+    n, c, h, w = planes.shape
     ft = jnp.float32
 
     # clamped absolute sample coordinates (== grid_sample border padding)
@@ -132,14 +133,12 @@ def backward_warp_pallas(x: jnp.ndarray, flow: jnp.ndarray,
         sy = jnp.pad(sy, ((0, 0), (0, hp - h), (0, wp - w)))
         sx = jnp.pad(sx, ((0, 0), (0, hp - h), (0, wp - w)))
 
-    # channel-major planes, zero-padded: one tile before (so displaced slab
-    # starts stay non-negative) and enough after for the aligned superset
-    # block (th+8 / tw+128) of the furthest displacement
-    out_dtype = x.dtype
-    # Mosaic's dynamic rotate needs 32-bit data; the kernel runs in fp32
-    xp = jnp.moveaxis(x, -1, 1).astype(jnp.float32)  # (n, c, h, w)
-    xp = jnp.pad(xp, ((0, 0), (0, 0), (_TH, 2 * _TH + (hp - h) + 8),
-                      (_TW, 2 * _TW + (wp - w) + 128)))
+    # zero-pad: one tile before (so displaced slab starts stay non-negative)
+    # and enough after for the aligned superset block of the furthest
+    # displacement. Mosaic's dynamic rotate needs 32-bit data -> fp32.
+    xp = jnp.pad(planes.astype(jnp.float32),
+                 ((0, 0), (0, 0), (_TH, 2 * _TH + (hp - h) + 8),
+                  (_TW, 2 * _TW + (wp - w) + 128)))
     hpad, wpad = xp.shape[2], xp.shape[3]
 
     grid = (n, hp // _TH, wp // _TW)
@@ -161,5 +160,42 @@ def backward_warp_pallas(x: jnp.ndarray, flow: jnp.ndarray,
         interpret=interpret,
     )(sy, sx, xp)
 
-    out = jnp.moveaxis(out, 1, -1)[:, :h, :w, :]
-    return out.astype(out_dtype)
+    return out[:, :, :h, :w]
+
+
+def backward_warp_pallas(x: jnp.ndarray, flow: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Drop-in replacement for ops.warp.backward_warp (NHWC in/out)."""
+    out = _warp_planes(jnp.moveaxis(x, -1, 1), flow, interpret)
+    return jnp.moveaxis(out, 1, -1).astype(x.dtype)
+
+
+def backward_warp_pallas_packed(hr_packed2: jnp.ndarray, flow: jnp.ndarray,
+                                scale: int,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Packed-carry warp for the streaming recurrence.
+
+    Input: the previous HR frame in the SR tail's packed-2x layout
+    (n, H/2, W/2, 4c), channel = (r*2+t)*c + ch. Output: the warped frame
+    already in space_to_depth(., scale) layout (n, H/s, W/s, s*s*c) — the
+    exact input of SRNet's conv_in. The HR image itself is never
+    materialised in NHWC; the only relayouts are plane transposes, which
+    profiling showed are ~2x cheaper than depth_to_space + space_to_depth
+    round trips at full resolution.
+    """
+    n, h2, w2, c4 = hr_packed2.shape
+    c = c4 // 4
+    hh, ww = 2 * h2, 2 * w2
+
+    # packed2 -> channel-major HR planes (n, c, H, W)
+    t = hr_packed2.reshape(n, h2, w2, 2, 2, c)
+    t = t.transpose(0, 5, 1, 3, 2, 4)  # (n, c, h2, r, w2, t)
+    planes = t.reshape(n, c, hh, ww)
+
+    out = _warp_planes(planes, flow, interpret)  # (n, c, H, W) fp32
+
+    # planes -> space_to_depth(., scale) layout (n, H/s, W/s, s*s*c)
+    s = scale
+    t = out.reshape(n, c, hh // s, s, ww // s, s)
+    t = t.transpose(0, 2, 4, 3, 5, 1)  # (n, h, w, dy, dx, c)
+    return t.reshape(n, hh // s, ww // s, s * s * c).astype(hr_packed2.dtype)
