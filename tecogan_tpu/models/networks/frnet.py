@@ -91,10 +91,12 @@ def _hr_flow(cfg: FRNetConfig, lr_flow: jnp.ndarray, h: int, w: int):
 
 
 def _pallas_ok(cfg: FRNetConfig, c: int, hh: int, ww: int) -> bool:
-    """Pallas warp applies on TPU when the padded fp32 image fits VMEM."""
+    """Pallas warp applies on TPU when the padded image fits VMEM (the
+    kernel keeps the image in the compute dtype; bf16 halves the budget)."""
     if not cfg.pallas_warp or jax.default_backend() != "tpu":
         return False
-    return c * (hh + 48) * (ww + 384) * 4 <= 12 * 2 ** 20
+    itemsize = 2 if cfg.compute_dtype == "bfloat16" else 4
+    return c * (hh + 48) * (ww + 384) * itemsize <= 12 * 2 ** 20
 
 
 def _inference_warp(cfg: FRNetConfig):

@@ -105,9 +105,14 @@ def srnet_apply(params, lr_curr: jnp.ndarray, hr_prev_packed: jnp.ndarray,
     # packed tail: ReLU, output conv and residual at half resolution
     outp = nn.relu(nn.conv2d_transpose_packed(params[f"up{n_up - 1}"], out))
     w_packed = nn.pack_conv3x3_kernel(params["conv_out"]["w"])
+    # pad the output channels to 128: XLA's TPU conv fast path needs full
+    # lanes — measured 5x faster than the natural 12-channel conv
+    c_out = w_packed.shape[-1]
+    pad_c = max(0, 128 - c_out)
+    w_padded = jnp.pad(w_packed, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
     outp = jax.lax.conv_general_dilated(
-        outp, w_packed.astype(outp.dtype), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        outp, w_padded.astype(outp.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., :c_out]
     outp = outp + jnp.tile(params["conv_out"]["b"], 4).astype(outp.dtype)
     outp = outp + _residual_packed(lr_curr, scale, degradation).astype(
         outp.dtype)

@@ -97,10 +97,12 @@ def _warp_kernel(sy_ref, sx_ref, img_ref, out_ref, *, c: int, th: int,
             w_x1 = jnp.where(blk1 == bf, wx, 0.0) * w_y
 
             for ch in range(c):
+                # cast after load: the image can stay bf16 in VMEM (the
+                # dynamic rotate below requires 32-bit data)
                 blk = img_ref[0, ch, pl.ds(qy, th + 8),
-                              pl.ds(base, 128)]
+                              pl.ds(base, 128)].astype(jnp.float32)
                 blk = pltpu.roll(blk, (th + 8) - ry, axis=0)
-                slab = blk[:th, :].astype(jnp.float32)
+                slab = blk[:th, :]
                 g0 = jnp.take_along_axis(slab, idx0, axis=1)
                 g1 = jnp.take_along_axis(slab, idx1, axis=1)
                 out_ref[0, ch] += (w_x0 * g0 + w_x1 * g1).astype(
@@ -135,8 +137,9 @@ def _warp_planes(planes: jnp.ndarray, flow: jnp.ndarray,
 
     # zero-pad: one tile before (so displaced slab starts stay non-negative)
     # and enough after for the aligned superset block of the furthest
-    # displacement. Mosaic's dynamic rotate needs 32-bit data -> fp32.
-    xp = jnp.pad(planes.astype(jnp.float32),
+    # displacement. The image keeps its dtype (bf16 halves VMEM + traffic;
+    # the kernel casts each slab to fp32 after load).
+    xp = jnp.pad(planes,
                  ((0, 0), (0, 0), (_TH, 2 * _TH + (hp - h) + 8),
                   (_TW, 2 * _TW + (wp - w) + 128)))
     hpad, wpad = xp.shape[2], xp.shape[3]
