@@ -1,0 +1,174 @@
+"""Consolidated benchmark suite: inference FPS (fp32/bf16, per chunk
+geometry), train-step throughput (FRVSR + TecoGAN at the reference batch
+geometry), and host loader throughput. Writes BENCHMARKS.md.
+
+Run on the TPU host:  python scripts/bench_suite.py
+"""
+
+import functools
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def _fps_infer(dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from tecogan_tpu.models.networks import (
+        FRNetConfig, infer_sequence, init_frnet)
+
+    t, h, w = 64, 134, 320
+    cfg = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD",
+                      compute_dtype=dtype)
+    params = init_frnet(jax.random.PRNGKey(0), cfg)
+    lr = jax.random.uniform(jax.random.PRNGKey(1), (t, h, w, 3), jnp.float32)
+
+    @jax.jit
+    def run(p, x):
+        return jnp.sum(infer_sequence(p, x, cfg, chunk=16).astype(jnp.int32))
+
+    int(run(params, lr))
+    times = []
+    for rep in range(4):
+        t0 = time.perf_counter()
+        int(run(params, lr + (rep + 1) * 1e-6))
+        times.append(time.perf_counter() - t0)
+    return t / min(times)
+
+
+def _train_iter(model):
+    import jax
+
+    from tecogan_tpu.models.networks import (
+        FRNetConfig, STNetConfig, init_frnet, init_stnet, init_vgg19)
+    from tecogan_tpu.models.schedules import make_adam
+    from tecogan_tpu.models.steps import (
+        TrainConfig, frvsr_init_state, frvsr_train_step,
+        tecogan_init_state, tecogan_train_step)
+    from tecogan_tpu.parallel import batch_sharding, get_mesh, replicated
+
+    mesh = get_mesh()
+    rng = np.random.default_rng(0)
+    batch = {"gt": jax.device_put(
+        (rng.random((4, 10, 136, 136, 3)) * 255).astype(np.uint8),
+        batch_sharding(mesh))}
+    cfg_g = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD")
+    base = dict(scale=4, degradation="BD", sigma=1.5, tempo_extent=10,
+                pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},
+                warping_crit={"type": "CB", "weight": 1, "reduction": "mean"})
+    tx_g, _ = make_adam({"lr": 1e-4})
+
+    if model == "frvsr":
+        tcfg = TrainConfig(**base)
+        state = jax.device_put(
+            frvsr_init_state(init_frnet(jax.random.PRNGKey(0), cfg_g), tx_g),
+            replicated(mesh))
+        step = jax.jit(functools.partial(
+            frvsr_train_step, cfg_g=cfg_g, tcfg=tcfg, tx_g=tx_g),
+            donate_argnums=(0,))
+        run = lambda s: step(s, batch)
+    else:
+        cfg_d = STNetConfig(spatial_size=128, degradation="BD", scale=4)
+        tcfg = TrainConfig(
+            **base,
+            feature_crit={"type": "CosineSimilarity", "weight": 0.2,
+                          "feature_layers": [8, 17, 26, 35]},
+            pingpong_crit={"type": "CB", "weight": 0.5, "reduction": "mean"},
+            gan_crit={"type": "GAN", "weight": 0.01, "reduction": "mean"},
+            update_policy="adaptive")
+        tx_d, _ = make_adam({"lr": 5e-5})
+        vgg = jax.device_put(init_vgg19(jax.random.PRNGKey(2)),
+                             replicated(mesh))
+        state = jax.device_put(tecogan_init_state(
+            init_frnet(jax.random.PRNGKey(0), cfg_g),
+            init_stnet(jax.random.PRNGKey(1), cfg_d), tx_g, tx_d),
+            replicated(mesh))
+        step = jax.jit(functools.partial(
+            tecogan_train_step, cfg_g=cfg_g, cfg_d=cfg_d, tcfg=tcfg,
+            tx_g=tx_g, tx_d=tx_d), donate_argnums=(0,))
+        run = lambda s: step(s, batch, vgg_params=vgg)
+
+    state, logs = run(state)
+    float(logs["l_pix_G"])
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        state, logs = run(state)
+        float(logs["l_pix_G"])
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _loader_rate(tmpdir):
+    from tecogan_tpu.data import RecordWriter, TrainLoader, UnpairedClipDataset
+
+    rng = np.random.default_rng(0)
+    w = RecordWriter(tmpdir)
+    for i in range(30):
+        w.add_sequence(f"v{i}", (rng.random((10, 448, 448, 3)) * 255).astype(
+            np.uint8))
+    w.close()
+    ds = UnpairedClipDataset(tmpdir, crop_size=136, tempo_extent=10,
+                             moving_first_frame=True, moving_factor=0.7,
+                             output_dtype=np.uint8)
+    loader = TrainLoader(ds, batch_size=4, seed=0, num_workers=4)
+    n, t0 = 0, time.perf_counter()
+    for epoch in range(3):
+        for _ in loader.epoch(epoch):
+            n += 1
+    return 4 * n / (time.perf_counter() - t0)
+
+
+def main():
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      osp.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    rows = []
+    dev = str(jax.devices()[0])
+    fps16 = _fps_infer("bfloat16")
+    rows.append(("4x SR streaming inference, 134x320 LR, bf16",
+                 f"{fps16:.1f} frames/s", "reference: 27 FPS on 1080Ti"))
+    fps32 = _fps_infer("float32")
+    rows.append(("4x SR streaming inference, 134x320 LR, fp32",
+                 f"{fps32:.1f} frames/s", ""))
+    t_fr = _train_iter("frvsr")
+    rows.append(("FRVSR train step (batch 4 x 10 frames x 128^2 GT)",
+                 f"{t_fr * 1000:.0f} ms/iter = {4 / t_fr:.1f} clips/s",
+                 "the reference's full 2-GPU geometry on one chip"))
+    t_tg = _train_iter("tecogan")
+    rows.append(("TecoGAN GAN step (same geometry, all losses)",
+                 f"{t_tg * 1000:.0f} ms/iter = {4 / t_tg:.1f} clips/s", ""))
+    with tempfile.TemporaryDirectory() as d:
+        rate = _loader_rate(d)
+    rows.append(("host input pipeline (native clip assembler)",
+                 f"{rate:.0f} clips/s", "not a bottleneck"))
+
+    lines = [
+        "# BENCHMARKS — measured on " + dev,
+        "",
+        "Generated by `python scripts/bench_suite.py`.",
+        "",
+        "| Benchmark | Result | Notes |",
+        "|---|---|---|",
+    ]
+    for name, result, note in rows:
+        lines.append(f"| {name} | {result} | {note} |")
+    out = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                   "BENCHMARKS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

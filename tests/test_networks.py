@@ -73,9 +73,10 @@ def test_srnet_parity(rng, scale, degradation):
 
 
 @torch.no_grad()
-@pytest.mark.parametrize("degradation", ["BD", "BI"])
-def test_frnet_forward_sequence_parity(rng, degradation):
-    cfg = FRNetConfig(nf=16, nb=2, scale=4, degradation=degradation,
+@pytest.mark.parametrize("scale,degradation", [(4, "BD"), (4, "BI"),
+                                               (2, "BD")])
+def test_frnet_forward_sequence_parity(rng, scale, degradation):
+    cfg = FRNetConfig(nf=16, nb=2, scale=scale, degradation=degradation,
                       remat=False)
     tnet = TorchFRNet(3, 3, cfg.nf, cfg.nb, cfg.scale, degradation).eval()
     params = convert.convert_frnet(sd_numpy(tnet), cfg.nb, cfg.scale)
@@ -187,3 +188,19 @@ def test_vgg19_parity_random_weights(rng):
     for g, w in zip(taps, want):
         np.testing.assert_allclose(np.asarray(g), to_nhwc(w), rtol=1e-3,
                                    atol=1e-4)
+
+
+@pytest.mark.parametrize("scale", [4, 2])
+def test_infer_sequence_odd_sizes(rng, scale):
+    """Streaming inference at LR sizes not divisible by 8 (flow padding +
+    packed-carry shapes must all line up)."""
+    import jax
+
+    cfg = FRNetConfig(nf=8, nb=1, scale=scale, degradation="BD", remat=False)
+    params = __import__("tecogan_tpu.models.networks",
+                        fromlist=["init_frnet"]).init_frnet(
+        jax.random.PRNGKey(0), cfg)
+    lr = rng.random((5, 14, 22, 3)).astype(np.float32)
+    out = np.asarray(infer_sequence(params, jnp.asarray(lr), cfg, chunk=3))
+    assert out.shape == (5, scale * 14, scale * 22, 3)
+    assert out.dtype == np.uint8
