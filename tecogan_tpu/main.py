@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 from .data import create_dataloader, create_test_dataset
-from .metrics import create_metric_calculator, profile_frnet, count_params
+from .metrics import create_metric_calculator, profile_frnet
 from .models import define_model
 from .ops import save_sequence
 from .utils import config as config_utils

@@ -8,7 +8,6 @@ The reference steps its schedulers once per iteration, so "epoch" == step.
 
 from __future__ import annotations
 
-import math
 
 import jax.numpy as jnp
 import numpy as np

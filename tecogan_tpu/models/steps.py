@@ -27,7 +27,6 @@ then G losses are computed against the *updated* discriminator.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

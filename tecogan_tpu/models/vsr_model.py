@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import BaseVSRModel
-from .networks import define_generator, infer_sequence, init_frnet
+from .networks import define_generator, infer_sequence
 from .schedules import make_adam
 from .steps import frvsr_init_state, frvsr_train_step, make_train_config
 from ..utils import ckpt as ckpt_io

@@ -20,11 +20,9 @@ from those.
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = [
     "conv2d",

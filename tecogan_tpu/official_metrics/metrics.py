@@ -22,7 +22,6 @@ from __future__ import annotations
 import argparse
 import os
 import os.path as osp
-import sys
 
 import cv2
 import numpy as np
