@@ -122,6 +122,76 @@ def _sr_step(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev, hr_flow,
         cfg.nb, cfg.scale, cfg.degradation)
 
 
+def _phase_flow_coords(cfg: FRNetConfig, lr_flow, h: int, w: int):
+    """Per-phase CLAMPED absolute HR sample coordinates, straight from the
+    LR flow — the HR flow tensor is never materialised.
+
+    Phase (py, px) of the upsampled flow is rows py::s / cols px::s of the
+    separable upsampling operator, i.e. small per-phase matrices.
+    Returns sy, sx of shape (m, s*s, h, w).
+    """
+    from ...ops.resize import resize_matrix
+
+    s = cfg.scale
+    mode = ("bilinear_half_pixel" if cfg.degradation == "BI"
+            else "tecogan_bicubic")
+    lr_flow = _reflect_pad_flow(lr_flow, h, w)
+    mh = resize_matrix(mode, h, scale=s)
+    mw = resize_matrix(mode, w, scale=s)
+
+    ii = jnp.arange(h, dtype=jnp.float32)[:, None]
+    jj = jnp.arange(w, dtype=jnp.float32)[None, :]
+    sy, sx = [], []
+    f32 = lr_flow.astype(jnp.float32)
+    for py in range(s):
+        for px in range(s):
+            m_y = jnp.asarray(mh[py::s], jnp.float32)
+            m_x = jnp.asarray(mw[px::s], jnp.float32)
+            f = jnp.einsum("Oh,mhwc->mOwc", m_y, f32)
+            f = jnp.einsum("Pw,mOwc->mOPc", m_x, f)
+            f = s * f  # velocity scaling (`tecogan_nets.py:189`)
+            sy.append(jnp.clip(s * ii + py + f[..., 1], 0.0, s * h - 1.0))
+            sx.append(jnp.clip(s * jj + px + f[..., 0], 0.0, s * w - 1.0))
+    return jnp.stack(sy, axis=1), jnp.stack(sx, axis=1)
+
+
+def _packed2_to_planes(p2, s: int):
+    """SR-tail packed-2x output (n, sh/2, sw/2, 4c) -> phase planes
+    (n, s*s, c, h, w) with plane q = py*s + px."""
+    n, h2, w2, c4 = p2.shape
+    c = c4 // 4
+    if s == 2:
+        t = p2.reshape(n, h2, w2, 2, 2, c)
+        return t.transpose(0, 3, 4, 5, 1, 2).reshape(n, 4, c, h2, w2)
+    assert s == 4
+    h, w = h2 // 2, w2 // 2
+    # (i, a, j, b, r2, t2, ch): HR pixel (4i + 2a + r2, 4j + 2b + t2)
+    t = p2.reshape(n, h, 2, w, 2, 2, 2, c)
+    t = t.transpose(0, 2, 5, 4, 6, 7, 1, 3)  # (n, a, r2, b, t2, ch, i, j)
+    return t.reshape(n, 16, c, h, w)
+
+
+def _planes_to_conv_in(planes_out):
+    """Warped planes (n, c, s*s, h, w) -> conv_in's NHWC packed layout
+    (n, h, w, s*s*c) with channel = q*c + ch."""
+    n, c, n_ph, h, w = planes_out.shape
+    t = planes_out.transpose(0, 3, 4, 2, 1)  # (n, h, w, q, ch)
+    return t.reshape(n, h, w, n_ph * c)
+
+
+def _sr_step_p16(cfg: FRNetConfig, srnet_params, lr_curr, planes_prev,
+                 sy_q, sx_q):
+    """Fully-packed recurrence step: warp phase planes -> phase planes, no
+    HR-resolution tensor anywhere in the loop."""
+    from ...ops.warp_pallas import backward_warp_packed_planes
+
+    warped = backward_warp_packed_planes(planes_prev, sy_q, sx_q, cfg.scale)
+    p2 = srnet_apply(
+        srnet_params, lr_curr, _planes_to_conv_in(warped), cfg.nb,
+        cfg.scale, cfg.degradation, return_packed=True)
+    return _packed2_to_planes(p2, cfg.scale), p2
+
+
 def _sr_step_p2(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev_p2,
                 hr_flow, use_pallas: bool):
     """Packed-carry recurrence step (streaming inference): the previous HR
@@ -256,7 +326,35 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
     # (n_chunks, chunk, n, h, w, c)
     lr_chunks = jnp.moveaxis(
         lr_seqs.reshape(n, n_chunks, chunk, h, w, c), 0, 2)
+    # fully-packed path: bf16 phase planes of one colour fit VMEM easily;
+    # requires the kernel (TPU) and the FRNet flow bound (|flow| < 47*s)
+    use_p16 = (_pallas_ok(cfg, cfg.out_nc, s * h, s * w)
+               and (h + 112) * (w + 184 + 128) * 16 *
+               lr_seqs.dtype.itemsize <= 13 * 2 ** 20)
     use_pallas = _pallas_ok(cfg, cfg.out_nc, s * h, s * w)
+
+    def outer_p16(carry, lr_chunk):
+        lr_prev0, planes_prev0 = carry
+        prevs = jnp.concatenate([lr_prev0[None], lr_chunk[:-1]], axis=0)
+        flat = lambda x: x.reshape(chunk * n, h, w, c)
+        lr_flow = fnet_apply(params["fnet"], flat(lr_chunk), flat(prevs))
+        sy, sx = _phase_flow_coords(cfg, lr_flow, h, w)
+        sy = sy.reshape(chunk, n, s * s, h, w)
+        sx = sx.reshape(chunk, n, s * s, h, w)
+
+        def inner(planes_prev, inp):
+            lr_i, sy_i, sx_i = inp
+            planes_i, p2_i = _sr_step_p16(cfg, params["srnet"], lr_i,
+                                          planes_prev, sy_i, sx_i)
+            return planes_i, p2_i
+
+        planes_last, hr_chunk_p2 = jax.lax.scan(
+            inner, planes_prev0, (lr_chunk, sy, sx))
+        out_p2 = jnp.clip(
+            jnp.round(hr_chunk_p2.astype(jnp.float32) * 255.0), 0, 255
+        ).astype(jnp.uint8)
+        out = depth_to_space(out_p2, 2)
+        return (lr_chunk[-1], planes_last), out
 
     def outer(carry, lr_chunk):
         lr_prev0, hr_prev0_p2 = carry
@@ -281,12 +379,19 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
         out = depth_to_space(out_p2, 2)
         return (lr_chunk[-1], hr_chunk_p2[-1]), out
 
-    carry0 = (
-        jnp.zeros((n, h, w, c), lr_seqs.dtype),
-        jnp.zeros((n, s * h // 2, s * w // 2, 4 * cfg.out_nc),
-                  lr_seqs.dtype),
-    )
-    _, out = jax.lax.scan(outer, carry0, lr_chunks)
+    if use_p16:
+        carry0 = (
+            jnp.zeros((n, h, w, c), lr_seqs.dtype),
+            jnp.zeros((n, s * s, cfg.out_nc, h, w), lr_seqs.dtype),
+        )
+        _, out = jax.lax.scan(outer_p16, carry0, lr_chunks)
+    else:
+        carry0 = (
+            jnp.zeros((n, h, w, c), lr_seqs.dtype),
+            jnp.zeros((n, s * h // 2, s * w // 2, 4 * cfg.out_nc),
+                      lr_seqs.dtype),
+        )
+        _, out = jax.lax.scan(outer, carry0, lr_chunks)
     # (n_chunks, chunk, n, H, W, c) -> (n, t, H, W, c)
     out = jnp.moveaxis(out.reshape(n_chunks * chunk, n, s * h, s * w,
                                    cfg.out_nc), 1, 0)

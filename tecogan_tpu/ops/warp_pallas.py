@@ -173,6 +173,150 @@ def backward_warp_pallas(x: jnp.ndarray, flow: jnp.ndarray,
     return jnp.moveaxis(out, 1, -1).astype(x.dtype)
 
 
+def _warp_kernel_phases(sy_ref, sx_ref, img_ref, out_ref, *, s: int,
+                        th: int, tw: int, rowpad: int, colpad: int):
+    """Fully-packed warp: all s*s output phases of a packed tile share the
+    displacement enumeration and the slab loads.
+
+    For source offset Yo = y0 - s*i_abs (bounded by the flow), the source
+    packed plane row shift is floor(Yo/s) and the source y-phase Yo mod s —
+    both constant per iteration, so slabs are aligned loads + rolls from ONE
+    plane, reused by every output phase through per-phase tap masks. The
+    grid iterates (batch, channel, tiles): one colour plane set in VMEM at a
+    time keeps the footprint ~5 MB.
+    """
+    n_ph = s * s
+    i0 = pl.program_id(2) * th
+    j0 = pl.program_id(3) * tw
+
+    rows_s = (s * (i0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0))
+              ).astype(jnp.float32)
+    cols_s = (s * (j0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1))
+              ).astype(jnp.float32)
+
+    yoff, xoff, wy, wx = [], [], [], []
+    for ph in range(n_ph):
+        syc = sy_ref[0, ph]
+        sxc = sx_ref[0, ph]
+        y0 = jnp.floor(syc)
+        x0 = jnp.floor(sxc)
+        wy.append(syc - y0)
+        wx.append(sxc - x0)
+        yoff.append(y0 - rows_s)  # integer-valued f32, ~ phase + flow
+        xoff.append(x0 - cols_s)
+
+    y_lo = jnp.min(jnp.stack([jnp.min(v) for v in yoff])).astype(jnp.int32)
+    y_hi = jnp.max(jnp.stack([jnp.max(v) for v in yoff])).astype(jnp.int32)
+    x_lo = jnp.min(jnp.stack([jnp.min(v) for v in xoff])).astype(jnp.int32)
+    x_hi = jnp.max(jnp.stack([jnp.max(v) for v in xoff])).astype(jnp.int32)
+
+    for k in range(n_ph):
+        out_ref[0, 0, k] = jnp.zeros((th, tw), out_ref.dtype)
+
+    def y_body(yo, _):
+        yof = yo.astype(jnp.float32)
+        spy = jnp.mod(yo, s)
+        ysh = jnp.floor_divide(yo, s)
+        w_y = [jnp.where(yoff[ph] == yof, 1.0 - wy[ph], 0.0)
+               + jnp.where(yoff[ph] == yof - 1.0, wy[ph], 0.0)
+               for ph in range(n_ph)]
+        # clamp: iterations driven purely by tile-padding coords can push
+        # the start negative; their masks are zero for all real pixels
+        sy_start = jnp.maximum(i0 + ysh + rowpad, 0)
+        qy = pl.multiple_of((sy_start // 8) * 8, 8)
+        ry = sy_start - qy
+
+        def x_body(xo, _):
+            xof = xo.astype(jnp.float32)
+            spx = jnp.mod(xo, s)
+            xsh = jnp.floor_divide(xo, s)
+            q = spy * s + spx
+            col_start = jnp.maximum(j0 + xsh + colpad, 0)
+            qx = pl.multiple_of((col_start // 128) * 128, 128)
+            rx = col_start - qx
+            blk = img_ref[0, q, 0, pl.ds(qy, th + 8),
+                          pl.ds(qx, tw + 128)].astype(jnp.float32)
+            blk = pltpu.roll(blk, (th + 8) - ry, axis=0)
+            blk = pltpu.roll(blk, (tw + 128) - rx, axis=1)
+            slab = blk[:th, :tw]
+            for ph in range(n_ph):
+                w_x = (jnp.where(xoff[ph] == xof, 1.0 - wx[ph], 0.0)
+                       + jnp.where(xoff[ph] == xof - 1.0, wx[ph], 0.0))
+                out_ref[0, 0, ph] += (w_y[ph] * w_x * slab).astype(
+                    out_ref.dtype)
+            return 0
+
+        return jax.lax.fori_loop(x_lo, x_hi + 2, x_body, 0)
+
+    jax.lax.fori_loop(y_lo, y_hi + 2, y_body, 0)
+
+
+def backward_warp_packed_planes(planes: jnp.ndarray, sy: jnp.ndarray,
+                                sx: jnp.ndarray, scale: int,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Fully-packed warp over phase planes.
+
+    Args:
+        planes: (n, s*s, c, h, w) — phase plane (py*s+px) holds HR pixels
+            (s*i+py, s*j+px); h, w are the LR/packed grid sizes.
+        sy/sx:  (n, s*s, h, w) CLAMPED absolute HR sample coordinates for
+            each output phase (phase plane q of the output receives HR pixel
+            (s*i+py, s*j+px)'s warped value).
+
+    Flow magnitudes must stay below ~s*47 HR pixels (FRNet's tanh-bounded
+    flow plus bicubic overshoot satisfies this by construction).
+
+    Returns (n, c, s*s, h, w) warped phase planes, dtype of ``planes``.
+    """
+    n, n_ph, c, h, w = planes.shape
+    s = scale
+    assert n_ph == s * s
+
+    hp_t = -(-h // _TH) * _TH
+    wp_t = -(-w // _TW) * _TW
+    if (hp_t, wp_t) != (h, w):
+        # EDGE padding: the padded outputs are discarded, but their
+        # coordinates take part in the per-tile displacement enumeration —
+        # zero padding would fake huge displacements (and out-of-bounds
+        # slab reads) in the edge tiles
+        pad = ((0, 0), (0, 0), (0, hp_t - h), (0, wp_t - w))
+        sy = jnp.pad(sy, pad, mode="edge")
+        sx = jnp.pad(sx, pad, mode="edge")
+
+    # halo: displacement shifts are bounded by |flow|/s + 1 <= 48
+    rowpad, colpad = 48, 48
+    img = jnp.pad(planes, ((0, 0), (0, 0), (0, 0),
+                           (rowpad, rowpad + (hp_t - h) + _TH + 8),
+                           (colpad, colpad + (wp_t - w) + _TW + 128)))
+    hpad, wpad = img.shape[3], img.shape[4]
+
+    grid = (n, c, hp_t // _TH, wp_t // _TW)
+    out = pl.pallas_call(
+        functools.partial(_warp_kernel_phases, s=s, th=_TH, tw=_TW,
+                          rowpad=rowpad, colpad=colpad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_ph, _TH, _TW),
+                         lambda b, ch, i, j: (b, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_ph, _TH, _TW),
+                         lambda b, ch, i, j: (b, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_ph, 1, hpad, wpad),
+                         lambda b, ch, i, j: (b, 0, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n_ph, _TH, _TW),
+                               lambda b, ch, i, j: (b, ch, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, n_ph, hp_t, wp_t),
+                                       jnp.float32),
+        interpret=interpret,
+    )(sy, sx, img)
+
+    return out[:, :, :, :h, :w].astype(planes.dtype)
+
+
 def backward_warp_pallas_packed(hr_packed2: jnp.ndarray, flow: jnp.ndarray,
                                 scale: int,
                                 interpret: bool = False) -> jnp.ndarray:

@@ -53,3 +53,47 @@ def test_packed_warp_matches_reference_path(rng):
         backward_warp(hr, jnp.asarray(flow)), scale))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def _phase_coords(flow, s):
+    """(n, H, W, 2) HR flow -> clamped per-phase sample coords (n,s²,h,w)x2."""
+    n, H, W, _ = flow.shape
+    h, w = H // s, W // s
+    sy = np.empty((n, s * s, h, w), np.float32)
+    sx = np.empty((n, s * s, h, w), np.float32)
+    ii = np.arange(h)[:, None]
+    jj = np.arange(w)[None, :]
+    for py in range(s):
+        for px in range(s):
+            q = py * s + px
+            f = flow[:, py::s, px::s, :]
+            sy[:, q] = np.clip(s * ii + py + f[..., 1], 0, H - 1)
+            sx[:, q] = np.clip(s * jj + px + f[..., 0], 0, W - 1)
+    return sy, sx
+
+
+@pytest.mark.parametrize("s,hw", [(4, (32, 128)), (2, (24, 256))])
+def test_fully_packed_warp_matches_gather(rng, s, hw):
+    from tecogan_tpu.ops import space_to_depth
+    from tecogan_tpu.ops.warp_pallas import backward_warp_packed_planes
+
+    h, w = hw
+    H, W = s * h, s * w
+    n, c = 1, 3
+    hr = rng.standard_normal((n, H, W, c)).astype(np.float32)
+    flow = (rng.standard_normal((n, H, W, 2)) * 11).astype(np.float32)
+
+    # build phase planes from the HR image
+    planes = hr.reshape(n, h, s, w, s, c).transpose(0, 2, 4, 5, 1, 3)
+    planes = planes.reshape(n, s * s, c, h, w)
+    sy, sx = _phase_coords(flow, s)
+
+    got = np.asarray(backward_warp_packed_planes(
+        jnp.asarray(planes), jnp.asarray(sy), jnp.asarray(sx), s,
+        interpret=True))  # (n, c, s², h, w)
+
+    want_nhwc = np.asarray(space_to_depth(
+        backward_warp(jnp.asarray(hr), jnp.asarray(flow)), s))
+    # s2d channel = q*c + ch -> planes (n, c, q, h, w)
+    want = want_nhwc.reshape(n, h, w, s * s, c).transpose(0, 4, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
