@@ -97,3 +97,22 @@ def test_fully_packed_warp_matches_gather(rng, s, hw):
     # s2d channel = q*c + ch -> planes (n, c, q, h, w)
     want = want_nhwc.reshape(n, h, w, s * s, c).transpose(0, 4, 3, 1, 2)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="exercises the compiled packed16 path")
+def test_p16_inference_matches_gather_path_on_tpu(rng):
+    """Full streaming inference: fully-packed path vs the gather fallback."""
+    from tecogan_tpu.models.networks import (
+        FRNetConfig, infer_sequence, init_frnet)
+
+    cfg = FRNetConfig(nf=16, nb=2, scale=4, degradation="BD",
+                      compute_dtype="bfloat16")
+    cfg_ref = FRNetConfig(nf=16, nb=2, scale=4, degradation="BD",
+                          compute_dtype="bfloat16", pallas_warp=False)
+    params = init_frnet(jax.random.PRNGKey(0), cfg)
+    lr = rng.random((5, 40, 48, 3)).astype(np.float32)
+    a = np.asarray(infer_sequence(params, jnp.asarray(lr), cfg, chunk=5))
+    b = np.asarray(infer_sequence(params, jnp.asarray(lr), cfg_ref, chunk=5))
+    d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    assert d.max() <= 1 and (d > 0).mean() < 0.02
