@@ -116,3 +116,25 @@ def test_p16_inference_matches_gather_path_on_tpu(rng):
     b = np.asarray(infer_sequence(params, jnp.asarray(lr), cfg_ref, chunk=5))
     d = np.abs(a.astype(np.int32) - b.astype(np.int32))
     assert d.max() <= 1 and (d > 0).mean() < 0.02
+
+
+def test_fully_packed_warp_extreme_flow(rng):
+    """Near the supported |flow| bound (~188 px) with heavy border clamping."""
+    from tecogan_tpu.ops import space_to_depth
+    from tecogan_tpu.ops.warp_pallas import backward_warp_packed_planes
+
+    s, h, w, c = 4, 16, 128, 3
+    H, W = s * h, s * w
+    hr = rng.standard_normal((1, H, W, c)).astype(np.float32)
+    flow = (rng.standard_normal((1, H, W, 2)) * 150).astype(np.float32)
+
+    planes = hr.reshape(1, h, s, w, s, c).transpose(0, 2, 4, 5, 1, 3)
+    planes = planes.reshape(1, s * s, c, h, w)
+    sy, sx = _phase_coords(flow, s)
+    got = np.asarray(backward_warp_packed_planes(
+        jnp.asarray(planes), jnp.asarray(sy), jnp.asarray(sx), s,
+        interpret=True))
+    want_nhwc = np.asarray(space_to_depth(
+        backward_warp(jnp.asarray(hr), jnp.asarray(flow)), s))
+    want = want_nhwc.reshape(1, h, w, s * s, c).transpose(0, 4, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
