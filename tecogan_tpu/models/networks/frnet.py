@@ -50,6 +50,11 @@ class FRNetConfig:
     compute_dtype: str = "float32"
     # use the Pallas warp kernel in inference paths on TPU
     pallas_warp: bool = True
+    # experimental fully-packed recurrence (phase-plane warp). Exact and
+    # relayout-free, but the shared-slab enumeration currently loses to the
+    # packed2 path (its tiles span a 4x larger HR footprint, inflating the
+    # per-tile displacement ranges); kept opt-in for further kernel tuning.
+    packed16: bool = False
 
     @property
     def upsample_fn(self):
@@ -327,8 +332,9 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
     lr_chunks = jnp.moveaxis(
         lr_seqs.reshape(n, n_chunks, chunk, h, w, c), 0, 2)
     # fully-packed path: bf16 phase planes of one colour fit VMEM easily;
-    # requires the kernel (TPU) and the FRNet flow bound (|flow| < 47*s)
-    use_p16 = (_pallas_ok(cfg, cfg.out_nc, s * h, s * w)
+    # requires the kernel (TPU) and the FRNet flow bound (|flow| < 46*s)
+    use_p16 = (cfg.packed16
+               and _pallas_ok(cfg, cfg.out_nc, s * h, s * w)
                and (h + 112) * (w + 184 + 128) * 16 *
                lr_seqs.dtype.itemsize <= 13 * 2 ** 20)
     use_pallas = _pallas_ok(cfg, cfg.out_nc, s * h, s * w)

@@ -194,10 +194,16 @@ def _warp_kernel_phases(sy_ref, sx_ref, img_ref, out_ref, *, s: int,
     cols_s = (s * (j0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1))
               ).astype(jnp.float32)
 
+    # safety net: displacements beyond the supported halo are clamped (the
+    # FRNet flow bound keeps real flows well inside; out-of-contract flows
+    # degrade to nearest-supported displacement instead of garbage reads)
+    bound_y = float(s * (rowpad - 2))
+    bound_x = float(s * (colpad - 2))
+
     yoff, xoff, wy, wx = [], [], [], []
     for ph in range(n_ph):
-        syc = sy_ref[0, ph]
-        sxc = sx_ref[0, ph]
+        syc = jnp.clip(sy_ref[0, ph], rows_s - bound_y, rows_s + bound_y)
+        sxc = jnp.clip(sx_ref[0, ph], cols_s - bound_x, cols_s + bound_x)
         y0 = jnp.floor(syc)
         x0 = jnp.floor(sxc)
         wy.append(syc - y0)

