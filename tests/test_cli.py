@@ -117,3 +117,24 @@ def test_cli_profile_mode(tiny_exp, capsys):
     main(["--exp_dir", tiny_exp, "--mode", "profile",
           "--opt", osp.join(tiny_exp, "train.yml"), "--gpu_ids", "0",
           "--lr_size", "3x16x16", "--test_speed"])
+
+
+def test_all_shipped_configs_construct():
+    """Every YAML under experiments_*/ must build its model configs."""
+    import glob
+
+    import yaml
+
+    from tecogan_tpu.models.networks import (
+        define_discriminator, define_generator)
+    from tecogan_tpu.models.steps import make_train_config
+
+    paths = sorted(glob.glob("experiments_*/**/*.yml", recursive=True))
+    assert len(paths) >= 16
+    for path in paths:
+        opt = yaml.safe_load(open(path))
+        define_generator(opt)
+        if path.endswith("train.yml"):
+            make_train_config(opt)
+            if "discriminator" in opt["model"]:
+                define_discriminator(opt)
