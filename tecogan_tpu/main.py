@@ -234,6 +234,12 @@ def profile(opt, lr_size: str, test_speed: bool = False):
 
 
 def main(argv=None):
+    # multi-host rendezvous FIRST — before any jax backend query
+    # (reference analogue: init_dist at launch, base_utils.py:51-75)
+    from .parallel import maybe_init_distributed
+
+    maybe_init_distributed()
+
     try:  # persistent XLA compilation cache (first compiles take minutes)
         import jax
 

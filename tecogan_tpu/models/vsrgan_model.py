@@ -81,16 +81,38 @@ class VSRGANModel(VSRModel):
                             params_ref, loaded)
 
     def _load_vgg(self, opt, seed):
-        """VGG19 weights: converted torchvision .npz if present, else random
-        (functional but not loss-parity; a warning is logged)."""
-        path = opt["train"]["feature_crit"].get(
-            "weights_path", "pretrained_models/vgg19.npz")
+        """VGG19 weights for the perceptual loss.
+
+        The reference trains TecoGAN against ImageNet VGG19 features
+        (`codes/models/networks/vgg_nets.py:6-38`); training against random
+        features silently produces a non-parity model, so a missing weights
+        file is a HARD error unless `feature_crit.allow_random_weights: true`
+        is set explicitly (useful for smoke tests only).
+        """
+        fc = opt["train"]["feature_crit"]
+        path = fc.get("weights_path", "pretrained_models/vgg19.npz")
         if osp.exists(path):
             log_info(f"Load VGG19 feature extractor from: {path}")
             return ckpt_io.load_pytree(path)
+        if not fc.get("allow_random_weights", False):
+            raise FileNotFoundError(
+                f"No pretrained VGG19 weights at '{path}'. The perceptual "
+                "loss requires ImageNet VGG19 features; training against "
+                "random features would complete without error but produce a "
+                "non-parity model. Convert the torchvision checkpoint with:\n"
+                "  python -c \"import torch; from tecogan_tpu.models.convert"
+                " import convert_vgg19; from tecogan_tpu.utils.ckpt import"
+                " save_pytree; sd = torch.load('vgg19-dcbb9e9d.pth',"
+                " map_location='cpu', weights_only=True);"
+                " save_pytree(convert_vgg19(sd), "
+                "'pretrained_models/vgg19.npz')\"\n"
+                "or set feature_crit.allow_random_weights: true (smoke tests "
+                "only), or point feature_crit.weights_path at a converted "
+                ".npz.")
         log_info(
             "WARNING: no pretrained VGG19 weights found "
-            f"({path}); using random weights for the perceptual loss")
+            f"({path}); feature_crit.allow_random_weights is set, so the "
+            "perceptual loss uses RANDOM features — NOT a parity run")
         return init_vgg19(jax.random.PRNGKey(seed + 2))
 
     # ------------------------------------------------------------------ train

@@ -1,3 +1,5 @@
-from .mesh import get_mesh, batch_sharding, replicated, shard_batch
+from .mesh import (
+    get_mesh, batch_sharding, maybe_init_distributed, replicated, shard_batch)
 
-__all__ = ["get_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = ["get_mesh", "batch_sharding", "maybe_init_distributed",
+           "replicated", "shard_batch"]

@@ -31,9 +31,22 @@ __all__ = [
 
 
 def maybe_init_distributed():
-    """Initialise multi-host JAX if a coordinator address is configured."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+    """Initialise multi-host JAX if a coordinator address is configured.
+
+    Must run before ANY backend query (`jax.devices()`, `jax.process_count()`,
+    ...) — those initialise the local backend and poison multi-host setup.
+    Reference analogue: `codes/utils/base_utils.py:51-75` + `dist_utils.py`
+    (NCCL process-group formation at launch). Coordinates via the standard
+    JAX env vars (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
+    JAX_PROCESS_ID) or the platform's auto-detection.
+    """
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    try:
         jax.distributed.initialize()
+    except RuntimeError as e:  # already initialised (idempotent call)
+        if "already" not in str(e).lower():
+            raise
 
 
 def get_mesh(n_devices: int | None = None, devices=None) -> Mesh:
