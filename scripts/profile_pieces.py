@@ -68,8 +68,13 @@ def main():
     lr = jax.random.uniform(ks[0], (n, h, w, c), dt)
     lr2 = jax.random.uniform(ks[1], (n, h, w, c), dt)
     flow_lr = (jax.random.uniform(ks[2], (n, h, w, 2), dt) - 0.5) * 10
-    flow_hr = (jax.random.uniform(ks[3], (n, hh, ww, 2), jnp.float32)
-               - 0.5) * 20
+    # realistic flow: smooth (FNet output is an upsampling-ladder product),
+    # a few pixels of HR displacement
+    yy = jnp.linspace(0, 6.28, hh)[None, :, None]
+    xx = jnp.linspace(0, 6.28, ww)[None, None, :]
+    flow_hr = jnp.stack(
+        [3.0 * jnp.sin(yy + 2 * xx) + 1.5, 2.0 * jnp.cos(2 * yy + xx) - 0.7],
+        axis=-1).astype(jnp.float32) * jnp.ones((n, hh, ww, 2), jnp.float32)
     p2 = jax.random.uniform(ks[4], (n, hh // 2, ww // 2, 4 * c), dt)
     packed_in = jax.random.uniform(ks[5], (n, h, w, s * s * c), dt)
     trunk = jax.random.uniform(ks[6], (n, h, w, nf), dt)
@@ -78,18 +83,28 @@ def main():
     def want(name):
         return not which or any(k in name for k in which)
 
+    if want("baseline"):
+        m = 136 * 328
+        a = jax.random.uniform(ks[0], (m, 64), dt)
+        timed("baseline scan (x * 1.0001, 5.7MB)",
+              lambda x: x * dt(1.0001), a, n_iter=50)
+        small = jax.random.uniform(ks[0], (8, 128), dt)
+        timed("baseline scan (x * 1.0001, 2KB)",
+              lambda x: x * dt(1.0001), small, n_iter=50)
+
     if want("fnet16"):
         lr16 = jnp.tile(lr, (16, 1, 1, 1))
         lr16b = jnp.tile(lr2, (16, 1, 1, 1))
         timed("fnet (batch 16) [/16 for per-frame]",
-              lambda x: fnet_apply(params["fnet"], x, lr16b)[..., :3]
-              .astype(dt) * 0 + x,
+              lambda x: x + jnp.sum(
+                  fnet_apply(params["fnet"], x, lr16b)).astype(dt) * 0,
               lr16, n_iter=30)
 
     if want("hrflow16"):
         fl16 = jnp.tile(flow_lr, (16, 1, 1, 1))
         timed("hr_flow upsample (batch 16) [/16]",
-              lambda x: x * 0 + _hr_flow(cfg, x, h, w)[:, ::4, ::4] * 1e-6,
+              lambda x: x + jnp.sum(
+                  _hr_flow(cfg, x, h, w)).astype(dt) * 0,
               fl16, n_iter=30)
 
     if want("p2planes"):
@@ -176,6 +191,50 @@ def main():
         timed("space_to_depth(4) NHWC",
               lambda x: x * 0.5 + jnp.sum(space_to_depth(x, s)) * 0,
               hr, n_iter=50)
+
+    if want("matmul"):
+        # MXU efficiency probes at the trunk's candidate matmul shapes:
+        # carry the (M, 64) activation, expand to (M, 9*64) by tiling
+        # (same VMEM/HBM traffic class as im2col), contract back to 64.
+        m = 136 * 328
+        for kk, nn_ in [(576, 64), (64, 64), (576, 128)]:
+            b = jax.random.uniform(ks[1], (kk, nn_), dt)
+            pback = jax.random.uniform(ks[2], (nn_, 64), dt)
+            a = jax.random.uniform(ks[0], (m, 64), dt)
+            reps = kk // 64
+            gf = 2 * m * kk * nn_ / 1e9
+
+            def step_mm(x, b=b, pback=pback, reps=reps):
+                xc = jnp.tile(x, (1, reps)) if reps > 1 else x
+                y = jnp.dot(xc, b, preferred_element_type=jnp.float32)
+                return jnp.dot(y.astype(dt), pback,
+                               preferred_element_type=jnp.float32).astype(dt)
+
+            ms = timed(f"matmul ({m}x{kk})@({kk}x{nn_}) [{gf:.1f} GF]",
+                       step_mm, a, n_iter=50)
+            print(f"    -> {gf / ms:.1f} TF/s (main matmul only)")
+
+    if want("im2col"):
+        # the trunk conv re-expressed as roll-im2col + one matmul, in XLA
+        m = 136 * 328
+        w576 = jax.random.uniform(ks[1], (576, 64), dt)
+        a = jax.random.uniform(ks[0], (m, 64), dt)
+        shifts = [dy * 328 + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+        def im2col_conv(x):
+            xc = jnp.concatenate(
+                [jnp.roll(x, s, axis=0) for s in shifts], axis=1)
+            return x + jnp.dot(xc, w576,
+                               preferred_element_type=jnp.float32).astype(dt)
+
+        timed("im2col conv (roll+concat+matmul), XLA", im2col_conv, a,
+              n_iter=50)
+
+    if want("conv3x3"):
+        # one 3x3 64->64 conv at trunk shape, in isolation
+        wgt = params["srnet"]["res0_0"]
+        timed("single conv3x3 64->64 (134x320)",
+              lambda x: nn.conv2d(wgt, x, padding=1), trunk, n_iter=100)
 
     if want("quant"):
         def quant(x):

@@ -96,12 +96,15 @@ def _hr_flow(cfg: FRNetConfig, lr_flow: jnp.ndarray, h: int, w: int):
 
 
 def _pallas_ok(cfg: FRNetConfig, c: int, hh: int, ww: int) -> bool:
-    """Pallas warp applies on TPU when the padded image fits VMEM (the
-    kernel keeps the image in the compute dtype; bf16 halves the budget)."""
+    """Pallas warp applies on TPU when the (alignment-padded) image fits
+    VMEM (the kernel keeps the image in the compute dtype; bf16 halves the
+    budget). The kernel needs no halo padding — slab reads clamp."""
     if not cfg.pallas_warp or jax.default_backend() != "tpu":
         return False
     itemsize = 2 if cfg.compute_dtype == "bfloat16" else 4
-    return c * (hh + 48) * (ww + 384) * itemsize <= 12 * 2 ** 20
+    hp = -(-hh // 8) * 8
+    wp = -(-ww // 128) * 128
+    return c * hp * wp * itemsize <= 12 * 2 ** 20
 
 
 def _inference_warp(cfg: FRNetConfig):
@@ -195,6 +198,30 @@ def _sr_step_p16(cfg: FRNetConfig, srnet_params, lr_curr, planes_prev,
         srnet_params, lr_curr, _planes_to_conv_in(warped), cfg.nb,
         cfg.scale, cfg.degradation, return_packed=True)
     return _packed2_to_planes(p2, cfg.scale), p2
+
+
+def _p2_to_planes(hr_packed2, c: int):
+    """packed2 (n, h2, w2, 4c) -> channel-major HR planes (n, c, 2h2, 2w2).
+
+    This transpose is the CHEAPEST escape from conv_out's natural layout
+    (~0.42 ms/frame measured; every alternative std layout costs more)."""
+    n, h2, w2, _ = hr_packed2.shape
+    t = hr_packed2.reshape(n, h2, w2, 2, 2, c)
+    t = t.transpose(0, 5, 1, 3, 2, 4)  # (n, c, h2, r, w2, t)
+    return t.reshape(n, c, 2 * h2, 2 * w2)
+
+
+def _sr_step_planes(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev_p2,
+                    hr_flow):
+    """Streaming fast-path step: p2 carry -> planes -> Pallas warp ->
+    conv_in-on-planes -> p2. One XLA transpose per frame, nothing else."""
+    from ...ops.warp_pallas import _warp_planes
+    from .srnet import srnet_apply_planes
+
+    planes = _p2_to_planes(hr_prev_p2, cfg.out_nc)
+    warped = _warp_planes(planes, hr_flow).astype(hr_prev_p2.dtype)
+    return srnet_apply_planes(srnet_params, lr_curr, warped, cfg.nb,
+                              cfg.scale, cfg.degradation)
 
 
 def _sr_step_p2(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev_p2,
@@ -372,8 +399,12 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
 
         def inner(hr_prev_p2, inp):
             lr_i, flow_i = inp
-            hr_i_p2 = _sr_step_p2(cfg, params["srnet"], lr_i, hr_prev_p2,
-                                  flow_i, use_pallas)
+            if use_pallas:
+                hr_i_p2 = _sr_step_planes(cfg, params["srnet"], lr_i,
+                                          hr_prev_p2, flow_i)
+            else:
+                hr_i_p2 = _sr_step_p2(cfg, params["srnet"], lr_i,
+                                      hr_prev_p2, flow_i, False)
             return hr_i_p2, hr_i_p2
 
         _, hr_chunk_p2 = jax.lax.scan(inner, hr_prev0_p2,

@@ -79,6 +79,127 @@ def upsample_residual(lr, scale: int, degradation: str):
     return apply_separable(lr, mh, mw)
 
 
+def fold_conv_in_weights(w_in: jnp.ndarray, in_nc: int, scale: int):
+    """Split conv_in's kernel into (lr 3x3 conv, W-folded HR conv).
+
+    ``space_to_depth(hr, s)`` followed by conv_in's 3x3 is EXACTLY a
+    (3s, 3)-kernel stride-(s, 1) convolution over the W-folded HR image
+    (a free reshape (H, W, c) -> (H, W/s, s*c)): folded-kernel row
+    dy = s*tY + py and folded channel c*px + ch address conv_in tap
+    (tY, tX) at s2d channel (py*s+px)*c + ch. Zero relayout, zero extra
+    FLOPs — the s2d transpose becomes a weight reshuffle done once.
+
+    Returns (w_lr (3,3,c,nf), w_hr (3s,3,s*c,nf)).
+    """
+    c, s = in_nc, scale
+    nf = w_in.shape[-1]
+    w_lr = w_in[:, :, :c, :]
+    # s2d channel index (py*s+px)*c+ch -> [ty,tx,py,px,ch,nf], then regroup
+    w_s2d = w_in[:, :, c:, :].reshape(3, 3, s, s, c, nf)
+    w_hr = w_s2d.transpose(0, 2, 1, 3, 4, 5).reshape(3 * s, 3, s * c, nf)
+    return w_lr, w_hr
+
+
+def srnet_apply_hr(params, lr_curr: jnp.ndarray, hr_warp_flat: jnp.ndarray,
+                   nb: int, scale: int, degradation: str) -> jnp.ndarray:
+    """SRNet over the UNPACKED warped HR frame, kept FLAT (n, sh, sw*c).
+
+    Equal to ``srnet_apply(params, lr_curr, space_to_depth(hr, s), ...)``
+    but with the space_to_depth absorbed into conv_in via
+    ``fold_conv_in_weights`` — no packed intermediate ever materialises.
+    The HR frame stays in its flat (row, w*c) form throughout the streaming
+    recurrence: all needed views (NHWC, W-folded) are free reshapes of it,
+    and the flat form avoids XLA's padded physical layouts for
+    small-channel-minor NHWC tensors. Returns the flat HR frame.
+    """
+    n, h, w, c = lr_curr.shape
+    s = scale
+    w_lr, w_hr = fold_conv_in_weights(params["conv_in"]["w"], c, s)
+
+    hr_folded = hr_warp_flat.reshape(n, s * h, w, s * c)  # FREE reshape
+    out = jax.lax.conv_general_dilated(
+        hr_folded, w_hr.astype(hr_folded.dtype), (s, 1), ((s, s), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = out + jax.lax.conv_general_dilated(
+        lr_curr, w_lr.astype(lr_curr.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = nn.relu(out + params["conv_in"]["b"].astype(out.dtype))
+
+    for bi in range(nb):
+        res = nn.relu(nn.conv2d(params[f"res{bi}_0"], out, padding=1))
+        res = nn.conv2d(params[f"res{bi}_1"], res, padding=1)
+        out = out + res
+    n_up = 2 if scale == 4 else 1
+    for ui in range(n_up - 1):
+        out = nn.relu(nn.conv2d_transpose(params[f"up{ui}"], out))
+
+    outp = nn.relu(nn.conv2d_transpose_packed(params[f"up{n_up - 1}"], out))
+    w_packed = nn.pack_conv3x3_kernel(params["conv_out"]["w"])
+    c_out = w_packed.shape[-1]
+    pad_c = max(0, 128 - c_out)
+    w_padded = jnp.pad(w_packed, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+    outp = jax.lax.conv_general_dilated(
+        outp, w_padded.astype(outp.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., :c_out]
+    outp = outp + jnp.tile(params["conv_out"]["b"], 4).astype(outp.dtype)
+    outp = outp + _residual_packed(lr_curr, scale, degradation).astype(
+        outp.dtype)
+
+    # NOTE: a Pallas static-shuffle interleave was tried here and REGRESSED:
+    # pallas_call forces a standard layout on its operand, which pushed a
+    # (much larger) relayout inside the conv_out fusion (0.54 -> 3.0 ms).
+    # XLA's own d2s is the cheapest crossing for this 12-channel tensor.
+    hr = depth_to_space(outp, 2)
+    return hr.reshape(n, s * h, s * w * c)
+
+
+def srnet_apply_planes(params, lr_curr: jnp.ndarray, warped_planes,
+                       nb: int, scale: int, degradation: str) -> jnp.ndarray:
+    """SRNet over channel-major warped HR planes (n, c, sh, sw) -> packed2.
+
+    The streaming fast path: the Pallas warp emits planes, and conv_in+s2d
+    is evaluated DIRECTLY on them as per-colour W-folded stride-(s,1)
+    convolutions (free reshapes of each plane) — the planes->space_to_depth
+    transpose that cost ~0.9 ms/frame never materialises. Output stays in
+    the packed-2x layout (the conv_out's natural emission), which is both
+    the recurrence carry and the quantisation input.
+    """
+    n, h, w, c = lr_curr.shape
+    s = scale
+    w_lr, w_hr = fold_conv_in_weights(params["conv_in"]["w"], c, s)
+
+    out = jax.lax.conv_general_dilated(
+        lr_curr, w_lr.astype(lr_curr.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    for ch in range(c):
+        xf = warped_planes[:, ch].reshape(n, s * h, w, s)  # free reshape
+        out = out + jax.lax.conv_general_dilated(
+            xf, w_hr[:, :, ch::c, :].astype(xf.dtype), (s, 1),
+            ((s, s), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = nn.relu(out + params["conv_in"]["b"].astype(out.dtype))
+
+    for bi in range(nb):
+        res = nn.relu(nn.conv2d(params[f"res{bi}_0"], out, padding=1))
+        res = nn.conv2d(params[f"res{bi}_1"], res, padding=1)
+        out = out + res
+    n_up = 2 if scale == 4 else 1
+    for ui in range(n_up - 1):
+        out = nn.relu(nn.conv2d_transpose(params[f"up{ui}"], out))
+
+    outp = nn.relu(nn.conv2d_transpose_packed(params[f"up{n_up - 1}"], out))
+    w_packed = nn.pack_conv3x3_kernel(params["conv_out"]["w"])
+    c_out = w_packed.shape[-1]
+    pad_c = max(0, 128 - c_out)
+    w_padded = jnp.pad(w_packed, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+    outp = jax.lax.conv_general_dilated(
+        outp, w_padded.astype(outp.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., :c_out]
+    outp = outp + jnp.tile(params["conv_out"]["b"], 4).astype(outp.dtype)
+    outp = outp + _residual_packed(lr_curr, scale, degradation).astype(
+        outp.dtype)
+    return outp  # packed2 (n, sh/2, sw/2, 4c)
+
+
 def srnet_apply(params, lr_curr: jnp.ndarray, hr_prev_packed: jnp.ndarray,
                 nb: int, scale: int, degradation: str,
                 packed_tail: bool = True,

@@ -40,42 +40,49 @@ __all__ = ["backward_warp_pallas"]
 _TH, _TW = 8, 128
 
 
-def _warp_kernel(sy_ref, sx_ref, img_ref, out_ref, *, c: int, th: int,
-                 tw: int):
+def _warp_kernel(fy_ref, fx_ref, img_ref, out_ref, *, c: int, th: int,
+                 tw: int, h: int, w: int, hp: int, wp: int):
     """Per output tile:
 
-    - enumerate the (data-dependent) range of integer VERTICAL displacements;
-      bilinear y-tap weights become masks on the tile;
-    - per vertical displacement, enumerate the (<= 2-3) source 128-lane
-      blocks and resolve the per-pixel HORIZONTAL taps with a true per-lane
-      gather (Mosaic tpu.dynamic_gather via take_along_axis).
+    - sample coordinates are built IN-KERNEL from the raw flow tile (iota +
+      flow, clipped to the image box == grid_sample border padding): the HR
+      sy/sx tensors are never materialised in HBM;
+    - the (data-dependent) range of integer VERTICAL displacements is
+      enumerated; bilinear y-tap weights become masks on the tile;
+    - per vertical displacement, the (<= 2-3) source 128-lane blocks are
+      enumerated and per-pixel HORIZONTAL taps resolved with a per-lane
+      gather (Mosaic tpu.dynamic_gather via take_along_axis);
+    - the image is UNPADDED: slab starts are clamped into the buffer and a
+      mod-roll realigns rows, so every read is in-bounds while the tap
+      masks zero any wrapped row's contribution.
     """
     i0 = pl.program_id(1) * th
     j0 = pl.program_id(2) * tw
 
-    syc = sy_ref[0]  # (th, tw) clamped absolute source rows (unpadded)
-    sxc = sx_ref[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(
+        jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(
+        jnp.float32)
+    syc = jnp.clip(i0 + rows + fy_ref[0], 0.0, h - 1.0)
+    sxc = jnp.clip(j0 + cols + fx_ref[0], 0.0, w - 1.0)
     y0 = jnp.floor(syc)
     x0 = jnp.floor(sxc)
     wy = syc - y0
     wx = sxc - x0
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(
-        jnp.float32)
     # vertical displacement of the y0 tap relative to the slab origin row
-    # (i0 + dy), in PADDED image coords (+th row padding)
-    dyc = y0 + float(th) - (i0 + rows)
+    dyc = y0 - (i0 + rows)
     dy_lo = jnp.min(dyc).astype(jnp.int32)
     dy_hi = jnp.max(dyc).astype(jnp.int32) + 1  # +1 covers the y1 tap
 
-    # horizontal taps in padded coords (+tw column padding) and their
-    # 128-lane source blocks
-    x0p = x0 + float(tw)
-    blk0 = jnp.floor(x0p / 128.0)
-    blk1 = jnp.floor((x0p + 1.0) / 128.0)
+    # 128-lane source blocks of the two horizontal taps
+    blk0 = jnp.floor(x0 / 128.0)
+    blk1 = jnp.floor((x0 + 1.0) / 128.0)
     b_lo = jnp.min(blk0).astype(jnp.int32)
     b_hi = jnp.max(blk1).astype(jnp.int32)
-    x0i = x0p.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    slab_rows = min(th + 8, hp)  # small images: the whole height
 
     for ch in range(c):
         out_ref[0, ch] = jnp.zeros((th, tw), out_ref.dtype)
@@ -85,12 +92,17 @@ def _warp_kernel(sy_ref, sx_ref, img_ref, out_ref, *, c: int, th: int,
         w_y = jnp.where(dyc == dyf, 1.0 - wy, 0.0) + jnp.where(
             dyc == dyf - 1.0, wy, 0.0)
         sy_start = i0 + dy
-        qy = pl.multiple_of((sy_start // 8) * 8, 8)
-        ry = sy_start - qy
+        # clamp the aligned slab start into the buffer; the mod-roll below
+        # still maps out-row k to source row sy_start+k whenever that row is
+        # in-bounds (wrapped rows only ever carry zero mask weight)
+        qy = jnp.clip((sy_start // 8) * 8, 0, hp - slab_rows)
+        qy = pl.multiple_of(qy, 8)
+        ry = jnp.mod(sy_start - qy, slab_rows)
 
         def b_body(b, _):
             bf = b.astype(jnp.float32)
-            base = b * 128
+            base = jnp.minimum(b * 128, wp - 128)
+            base = pl.multiple_of(base, 128)
             idx0 = jnp.clip(x0i - base, 0, 127)
             idx1 = jnp.clip(x0i + 1 - base, 0, 127)
             w_x0 = jnp.where(blk0 == bf, (1.0 - wx), 0.0) * w_y
@@ -99,9 +111,9 @@ def _warp_kernel(sy_ref, sx_ref, img_ref, out_ref, *, c: int, th: int,
             for ch in range(c):
                 # cast after load: the image can stay bf16 in VMEM (the
                 # dynamic rotate below requires 32-bit data)
-                blk = img_ref[0, ch, pl.ds(qy, th + 8),
+                blk = img_ref[0, ch, pl.ds(qy, slab_rows),
                               pl.ds(base, 128)].astype(jnp.float32)
-                blk = pltpu.roll(blk, (th + 8) - ry, axis=0)
+                blk = pltpu.roll(blk, slab_rows - ry, axis=0)
                 slab = blk[:th, :]
                 g0 = jnp.take_along_axis(slab, idx0, axis=1)
                 g1 = jnp.take_along_axis(slab, idx1, axis=1)
@@ -117,43 +129,36 @@ def _warp_kernel(sy_ref, sx_ref, img_ref, out_ref, *, c: int, th: int,
 def _warp_planes(planes: jnp.ndarray, flow: jnp.ndarray,
                  interpret: bool = False) -> jnp.ndarray:
     """Core: channel-major planes (n, c, h, w) + flow (n, h, w, 2) ->
-    warped fp32 planes (n, c, h, w)."""
+    warped fp32 planes (n, c, h, w).
+
+    No HBM-side coordinate tensors and no halo padding: the only pads are
+    the (usually zero) alignments of h to 8 and w to 128."""
     n, c, h, w = planes.shape
     ft = jnp.float32
 
-    # clamped absolute sample coordinates (== grid_sample border padding)
-    sx = jnp.arange(w, dtype=ft)[None, None, :] + flow[..., 0].astype(ft)
-    sy = jnp.arange(h, dtype=ft)[None, :, None] + flow[..., 1].astype(ft)
-    sx = jnp.clip(sx, 0.0, w - 1.0)
-    sy = jnp.clip(sy, 0.0, h - 1.0)
+    fy = flow[..., 1].astype(ft)
+    fx = flow[..., 0].astype(ft)
 
-    # pad spatial dims to tile multiples (coords of the padded region clamp
-    # inside the valid box, so their outputs are discarded safely)
+    # align spatial dims to tile multiples (the padded outputs' coords clamp
+    # inside the valid box; their outputs are discarded)
     hp = -(-h // _TH) * _TH
     wp = -(-w // _TW) * _TW
     if (hp, wp) != (h, w):
-        sy = jnp.pad(sy, ((0, 0), (0, hp - h), (0, wp - w)))
-        sx = jnp.pad(sx, ((0, 0), (0, hp - h), (0, wp - w)))
-
-    # zero-pad: one tile before (so displaced slab starts stay non-negative)
-    # and enough after for the aligned superset block of the furthest
-    # displacement. The image keeps its dtype (bf16 halves VMEM + traffic;
-    # the kernel casts each slab to fp32 after load).
-    xp = jnp.pad(planes,
-                 ((0, 0), (0, 0), (_TH, 2 * _TH + (hp - h) + 8),
-                  (_TW, 2 * _TW + (wp - w) + 128)))
-    hpad, wpad = xp.shape[2], xp.shape[3]
+        fy = jnp.pad(fy, ((0, 0), (0, hp - h), (0, wp - w)))
+        fx = jnp.pad(fx, ((0, 0), (0, hp - h), (0, wp - w)))
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
 
     grid = (n, hp // _TH, wp // _TW)
     out = pl.pallas_call(
-        functools.partial(_warp_kernel, c=c, th=_TH, tw=_TW),
+        functools.partial(_warp_kernel, c=c, th=_TH, tw=_TW, h=h, w=w,
+                          hp=hp, wp=wp),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _TH, _TW), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TH, _TW), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, hpad, wpad), lambda b, i, j: (b, 0, 0, 0),
+            pl.BlockSpec((1, c, hp, wp), lambda b, i, j: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c, _TH, _TW),
@@ -161,9 +166,11 @@ def _warp_planes(planes: jnp.ndarray, flow: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), jnp.float32),
         interpret=interpret,
-    )(sy, sx, xp)
+    )(fy, fx, planes)
 
-    return out[:, :, :h, :w]
+    if (hp, wp) != (h, w):
+        out = out[:, :, :h, :w]
+    return out
 
 
 def backward_warp_pallas(x: jnp.ndarray, flow: jnp.ndarray,
@@ -321,6 +328,157 @@ def backward_warp_packed_planes(planes: jnp.ndarray, sy: jnp.ndarray,
     )(sy, sx, img)
 
     return out[:, :, :, :h, :w].astype(planes.dtype)
+
+
+def _warp_kernel_rgb(fy_ref, fx_ref, img_ref, out_ref, *, c: int, th: int,
+                     tw: int, h: int, w: int, hp: int, wcp: int):
+    """NHWC-native warp on channel-interleaved lanes.
+
+    The image arrives as (h, w*c) — a FREE reshape of NHWC — so lane
+    L = c*x + ch. One program computes (th, tw*c) output lanes = tw pixels
+    of all c channels. fy/fx arrive pre-interleaved per lane (each pixel's
+    flow repeated c times). Vertical displacements are enumerated with
+    aligned slab loads + sublane rolls (as in `_warp_kernel`); horizontal
+    taps are per-lane gathers at lane index c*x0 + ch (and +c for the
+    second tap). No transposes anywhere: in NHWC, out NHWC.
+    """
+    twc = tw * c
+    i0 = pl.program_id(1) * th
+    j0 = pl.program_id(2) * tw  # pixel index of the tile's first pixel
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, twc), 0).astype(
+        jnp.float32)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (th, twc), 1)
+    px_abs = (j0 + lanes // c).astype(jnp.float32)
+    ch_lane = lanes - c * (lanes // c)  # L mod c
+
+    syc = jnp.clip(i0 + rows + fy_ref[0], 0.0, h - 1.0)
+    sxc = jnp.clip(px_abs + fx_ref[0], 0.0, w - 1.0)
+    y0 = jnp.floor(syc)
+    x0 = jnp.floor(sxc)
+    wy = syc - y0
+    wx = sxc - x0
+
+    dyc = y0 - (i0 + rows)
+    dy_lo = jnp.min(dyc).astype(jnp.int32)
+    dy_hi = jnp.max(dyc).astype(jnp.int32) + 1
+
+    l0 = x0.astype(jnp.int32) * c + ch_lane  # absolute lane of the x0 tap
+    l1 = l0 + c
+
+    blk0 = l0 // 128
+    blk1 = l1 // 128
+    b_lo = jnp.min(blk0)
+    b_hi = jnp.max(blk1)
+
+    slab_r = min(th + 8, hp)
+    nt = twc // 128
+
+    out_ref[0] = jnp.zeros((th, twc), out_ref.dtype)
+
+    def y_body(dy, _):
+        dyf = dy.astype(jnp.float32)
+        w_y = jnp.where(dyc == dyf, 1.0 - wy, 0.0) + jnp.where(
+            dyc == dyf - 1.0, wy, 0.0)
+        sy_start = i0 + dy
+        qy = jnp.clip((sy_start // 8) * 8, 0, hp - slab_r)
+        qy = pl.multiple_of(qy, 8)
+        ry = jnp.mod(sy_start - qy, slab_r)
+
+        def b_body(b, _):
+            base = jnp.minimum(b * 128, wcp - 128)
+            base = pl.multiple_of(base, 128)
+            idx0 = jnp.clip(l0 - base, 0, 127)
+            idx1 = jnp.clip(l1 - base, 0, 127)
+            w_x0 = jnp.where(blk0 == b, (1.0 - wx), 0.0) * w_y
+            w_x1 = jnp.where(blk1 == b, wx, 0.0) * w_y
+
+            blk = img_ref[0, pl.ds(qy, slab_r),
+                          pl.ds(base, 128)].astype(jnp.float32)
+            blk = pltpu.roll(blk, slab_r - ry, axis=0)
+            slab = blk[:th, :]
+            # tpu.dynamic_gather sources one 128-lane vreg: gather each
+            # output lane-tile separately from the same slab
+            g0 = jnp.concatenate(
+                [jnp.take_along_axis(slab, idx0[:, 128 * t:128 * (t + 1)],
+                                     axis=1) for t in range(nt)], axis=1)
+            g1 = jnp.concatenate(
+                [jnp.take_along_axis(slab, idx1[:, 128 * t:128 * (t + 1)],
+                                     axis=1) for t in range(nt)], axis=1)
+            out_ref[0] += (w_x0 * g0 + w_x1 * g1).astype(out_ref.dtype)
+            return 0
+
+        return jax.lax.fori_loop(b_lo, b_hi + 1, b_body, 0)
+
+    jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, 0)
+
+
+def backward_warp_rgb_flat(xi: jnp.ndarray, flow: jnp.ndarray, c: int,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Channel-interleaved flat warp: (n, h, w*c) in -> (n, h, w*c) out.
+
+    The flat form IS the NHWC memory layout; keeping tensors flat avoids
+    XLA's padded physical layouts for small-channel-minor NHWC shapes.
+    """
+    n, h, wc = xi.shape
+    w = wc // c
+    ft = jnp.float32
+
+    fy = flow[..., 1].astype(ft)
+    fx = flow[..., 0].astype(ft)
+
+    hp = -(-h // _TH) * _TH
+    wp = -(-w // _TW) * _TW
+    if (hp, wp) != (h, w):
+        fy = jnp.pad(fy, ((0, 0), (0, hp - h), (0, wp - w)))
+        fx = jnp.pad(fx, ((0, 0), (0, hp - h), (0, wp - w)))
+        xi = jnp.pad(xi.reshape(n, h, w, c),
+                     ((0, 0), (0, hp - h), (0, wp - w), (0, 0))).reshape(
+                         n, hp, wp * c)
+
+    # per-lane flow: each pixel's value repeated c times (lane-minor)
+    fyl = jnp.broadcast_to(fy[..., None], (n, hp, wp, c)).reshape(
+        n, hp, wp * c)
+    fxl = jnp.broadcast_to(fx[..., None], (n, hp, wp, c)).reshape(
+        n, hp, wp * c)
+    wcp = wp * c
+
+    grid = (n, hp // _TH, wp // _TW)
+    out = pl.pallas_call(
+        functools.partial(_warp_kernel_rgb, c=c, th=_TH, tw=_TW, h=h, w=w,
+                          hp=hp, wcp=wcp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _TH, _TW * c), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TH, _TW * c), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wcp), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TH, _TW * c),
+                               lambda b, i, j: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hp, wcp), jnp.float32),
+        interpret=interpret,
+    )(fyl, fxl, xi)
+
+    if (hp, wp) != (h, w):
+        out = out.reshape(n, hp, wp, c)[:, :h, :w].reshape(n, h, w * c)
+    return out.astype(xi.dtype)
+
+
+def backward_warp_rgb(x: jnp.ndarray, flow: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    """NHWC in / NHWC out warp with zero layout changes.
+
+    Drop-in equivalent of ops.warp.backward_warp for small channel counts
+    (the image is viewed as channel-interleaved lanes via a free reshape).
+    """
+    n, h, w, c = x.shape
+    out = backward_warp_rgb_flat(x.reshape(n, h, w * c), flow, c,
+                                 interpret=interpret)
+    return out.reshape(n, h, w, c)
 
 
 def backward_warp_pallas_packed(hr_packed2: jnp.ndarray, flow: jnp.ndarray,

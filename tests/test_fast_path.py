@@ -1,0 +1,100 @@
+"""The streaming TPU fast path, CPU-verified piece by piece:
+
+- ``fold_conv_in_weights``: space_to_depth absorbed into conv_in as a
+  W-folded stride-(s,1) convolution (exact weight reshuffle);
+- ``srnet_apply_hr`` / ``srnet_apply_planes``: SRNet fed by the unpacked
+  HR frame (NHWC or channel-major planes) matches the packed reference
+  path bit-for-bit in fp32;
+- ``backward_warp_rgb``: the channel-interleaved-lane Pallas warp matches
+  the gather warp (interpret mode);
+- ``_sr_step_planes``: the full fast-path recurrence step (p2 carry ->
+  planes -> warp -> conv_in-on-planes -> p2) matches the reference step.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tecogan_tpu.models.networks.srnet import (
+    init_srnet, srnet_apply, srnet_apply_hr, srnet_apply_planes)
+from tecogan_tpu.ops import backward_warp, space_to_depth
+
+
+@pytest.mark.parametrize("scale", [2, 4])
+def test_srnet_apply_hr_matches_packed(rng, scale):
+    params = init_srnet(jax.random.PRNGKey(0), 3, 3, 16, 3, scale)
+    lr = jnp.asarray(rng.random((2, 12, 20, 3)), jnp.float32)
+    hr = jnp.asarray(rng.random((2, 12 * scale, 20 * scale, 3)), jnp.float32)
+    ref = srnet_apply(params, lr, space_to_depth(hr, scale), 3, scale, "BD")
+    got = srnet_apply_hr(params, lr, hr.reshape(2, 12 * scale, -1), 3,
+                         scale, "BD")
+    np.testing.assert_allclose(np.asarray(got).reshape(ref.shape),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("scale", [2, 4])
+@pytest.mark.parametrize("degradation", ["BD", "BI"])
+def test_srnet_apply_planes_matches_packed(rng, scale, degradation):
+    from tecogan_tpu.ops import depth_to_space
+
+    params = init_srnet(jax.random.PRNGKey(1), 3, 3, 16, 2, scale)
+    lr = jnp.asarray(rng.random((1, 12, 20, 3)), jnp.float32)
+    hr = jnp.asarray(rng.random((1, 12 * scale, 20 * scale, 3)), jnp.float32)
+    ref = srnet_apply(params, lr, space_to_depth(hr, scale), 2, scale,
+                      degradation)
+    planes = jnp.moveaxis(hr, -1, 1)
+    got_p2 = srnet_apply_planes(params, lr, planes, 2, scale, degradation)
+    got = depth_to_space(got_p2, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_backward_warp_rgb_matches_gather(rng):
+    from tecogan_tpu.ops.warp_pallas import backward_warp_rgb
+
+    x = jnp.asarray(rng.random((2, 24, 100, 3)), jnp.float32)
+    flow = jnp.asarray((rng.random((2, 24, 100, 2)) - 0.5) * 9, jnp.float32)
+    # border stress: clamped far-out-of-range flow
+    flow = flow.at[:, :3, :3].set(55.0).at[:, -3:, -3:].set(-70.0)
+    ref = backward_warp(x, flow)
+    got = backward_warp_rgb(x, flow, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sr_step_planes_matches_reference_step(rng, monkeypatch):
+    """p2 -> planes -> (interpret) Pallas warp -> conv_in-on-planes -> p2
+    equals warp+s2d+srnet on the unpacked frame."""
+    import functools
+
+    import tecogan_tpu.ops.warp_pallas as wp
+    from tecogan_tpu.models.networks import FRNetConfig
+    from tecogan_tpu.models.networks.frnet import (
+        _p2_to_planes, _sr_step_planes)
+    from tecogan_tpu.ops import depth_to_space
+
+    monkeypatch.setattr(wp, "_warp_planes",
+                        functools.partial(wp._warp_planes, interpret=True))
+
+    cfg = FRNetConfig(nf=16, nb=2, scale=4, degradation="BD")
+    params = init_srnet(jax.random.PRNGKey(2), 3, 3, cfg.nf, cfg.nb, 4)
+    lr = jnp.asarray(rng.random((1, 8, 32, 3)), jnp.float32)
+    hr_prev = jnp.asarray(rng.random((1, 32, 128, 3)), jnp.float32)
+    flow = jnp.asarray((rng.random((1, 32, 128, 2)) - 0.5) * 7, jnp.float32)
+
+    hr_prev_p2 = space_to_depth(hr_prev, 2)
+    got_p2 = _sr_step_planes(cfg, params, lr, hr_prev_p2, flow)
+    got = depth_to_space(got_p2, 2)
+
+    ref = srnet_apply(params, lr,
+                      space_to_depth(backward_warp(hr_prev, flow), 4),
+                      cfg.nb, 4, "BD")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # round-trip consistency of the p2 <-> planes view
+    planes = _p2_to_planes(hr_prev_p2, 3)
+    np.testing.assert_array_equal(np.asarray(planes),
+                                  np.asarray(jnp.moveaxis(hr_prev, -1, 1)))
