@@ -44,7 +44,7 @@ def main():
 
     @jax.jit
     def run_checksum(p, x):
-        out = infer_sequence(p, x, cfg, chunk=16)
+        out = infer_sequence(p, x, cfg, chunk=32)
         return jnp.sum(out.astype(jnp.int32))
 
     int(run_checksum(params, lr))  # warmup / compile
