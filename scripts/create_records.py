@@ -24,14 +24,12 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 from tecogan_tpu.data.records import RecordStore, RecordWriter, make_key  # noqa: E402
 
 
-def build(raw_dir, out_dir, filter_file=None):
+def _iter_sequences(raw_dir, filter_file=None):
     seqs = sorted(os.listdir(raw_dir))
     if filter_file:
         with open(filter_file) as f:
             sel = {line.strip() for line in f if line.strip()}
         seqs = [s for s in seqs if s in sel]
-
-    writer = RecordWriter(out_dir)
     for si, seq in enumerate(seqs):
         seq_dir = osp.join(raw_dir, seq)
         frames = []
@@ -39,12 +37,45 @@ def build(raw_dir, out_dir, filter_file=None):
             if not fname.lower().endswith((".png", ".jpg")):
                 continue
             frames.append(cv2.imread(osp.join(seq_dir, fname))[..., ::-1])
-        if not frames:
-            continue
-        writer.add_sequence(seq, np.ascontiguousarray(np.stack(frames)))
-        print(f"[{si + 1}/{len(seqs)}] {seq}: {len(frames)} frames")
+        if frames:
+            yield si, len(seqs), seq, np.ascontiguousarray(np.stack(frames))
+
+
+def build(raw_dir, out_dir, filter_file=None):
+    writer = RecordWriter(out_dir)
+    for si, n, seq, frames in _iter_sequences(raw_dir, filter_file):
+        writer.add_sequence(seq, frames)
+        print(f"[{si + 1}/{n}] {seq}: {len(frames)} frames")
     writer.close()
     print(f"wrote {out_dir}")
+
+
+def build_lmdb(raw_dir, out_dir, filter_file=None, map_gb=200):
+    """Write a reference-format LMDB (`scripts/create_lmdb.py:13-139`):
+    RGB uint8 frames under keys ``{seq}_{T}x{H}x{W}_{i:04d}`` plus a
+    ``meta_info.pkl`` with name + keys. Readable by data.records.LMDBStore
+    and by the reference's datasets. Requires the ``lmdb`` package."""
+    import pickle
+
+    import lmdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    env = lmdb.open(out_dir, map_size=int(map_gb * 2 ** 30))
+    all_keys = []
+    for si, n, seq, frames in _iter_sequences(raw_dir, filter_file):
+        t, h, w, _ = frames.shape
+        with env.begin(write=True) as txn:
+            for i in range(t):
+                key = make_key(seq, t, h, w, i)
+                txn.put(key.encode("ascii"),
+                        np.ascontiguousarray(frames[i]).tobytes())
+                all_keys.append(key)
+        print(f"[{si + 1}/{n}] {seq}: {t} frames")
+    env.close()
+    meta = {"name": osp.basename(out_dir.rstrip("/")), "keys": all_keys}
+    with open(osp.join(out_dir, "meta_info.pkl"), "wb") as f:
+        pickle.dump(meta, f)
+    print(f"wrote LMDB {out_dir} ({len(all_keys)} keys)")
 
 
 def check(out_dir, n_samples=3):
@@ -66,8 +97,12 @@ if __name__ == "__main__":
     p.add_argument("--out_dir", required=True)
     p.add_argument("--filter_file", default=None)
     p.add_argument("--check", action="store_true")
+    p.add_argument("--format", choices=["records", "lmdb"],
+                   default="records")
     args = p.parse_args()
     if args.check:
         check(args.out_dir)
+    elif args.format == "lmdb":
+        build_lmdb(args.raw_dir, args.out_dir, args.filter_file)
     else:
         build(args.raw_dir, args.out_dir, args.filter_file)

@@ -1,0 +1,127 @@
+"""LMDB round-trip: scripts/create_records.py --format lmdb ->
+data.records.LMDBStore, executed under a minimal in-process `lmdb` shim
+(the real package is absent in this environment; the shim implements the
+exact API slice both sides use — open/begin/put/get/close — backed by a
+pickle file, so the reference-format read/write code paths run for real).
+"""
+
+import os.path as osp
+import pickle
+import sys
+import types
+
+import cv2
+import numpy as np
+import pytest
+
+
+class _ShimTxn:
+    def __init__(self, env, write):
+        self.env, self.write = env, write
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        if self.write:
+            self.env._flush()
+        return False
+
+    def put(self, key: bytes, val: bytes):
+        assert self.write
+        self.env._data[key] = bytes(val)
+
+    def get(self, key: bytes):
+        return self.env._data.get(key)
+
+
+class _ShimEnv:
+    def __init__(self, path, readonly=False, **kw):
+        self.path = path
+        self._file = osp.join(path, "shim.mdb")
+        self._data = {}
+        if osp.exists(self._file):
+            with open(self._file, "rb") as f:
+                self._data = pickle.load(f)
+        elif readonly:
+            raise FileNotFoundError(self._file)
+
+    def begin(self, write=False):
+        return _ShimTxn(self, write)
+
+    def _flush(self):
+        with open(self._file, "wb") as f:
+            pickle.dump(self._data, f)
+
+    def close(self):
+        self._flush()
+
+
+@pytest.fixture
+def lmdb_shim(monkeypatch):
+    mod = types.ModuleType("lmdb")
+    mod.open = lambda path, **kw: _ShimEnv(path, **kw)
+    monkeypatch.setitem(sys.modules, "lmdb", mod)
+    return mod
+
+
+def test_lmdb_write_read_roundtrip(tmp_path, rng, lmdb_shim):
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(
+        osp.abspath(__file__))), "scripts"))
+    import create_records
+
+    raw = tmp_path / "raw"
+    originals = {}
+    for seq in ("clipA", "clipB"):
+        d = raw / seq
+        d.mkdir(parents=True)
+        frames = (rng.random((4, 24, 32, 3)) * 255).astype(np.uint8)
+        originals[seq] = frames
+        for i in range(4):
+            cv2.imwrite(str(d / f"{i:04d}.png"), frames[i][..., ::-1])
+
+    out = str(tmp_path / "GT.lmdb")
+    create_records.build_lmdb(str(raw), out)
+    assert osp.exists(osp.join(out, "meta_info.pkl"))
+
+    from tecogan_tpu.data.records import LMDBStore, open_store
+
+    store = open_store(out)  # auto-detects LMDB via meta_info.pkl
+    assert isinstance(store, LMDBStore)
+    assert len(store.keys) == 8
+
+    for seq, frames in originals.items():
+        for i in range(4):
+            key = f"{seq}_4x24x32_{i:04d}"
+            np.testing.assert_array_equal(store.get(key), frames[i])
+
+    # clip assembly through the generic base path
+    keys = [f"clipA_4x24x32_{i:04d}" for i in range(3)]
+    clip = store.clip(keys, tops=[2] * 3, lefts=[4] * 3, ch=16, cw=16,
+                      dtype=np.uint8)
+    np.testing.assert_array_equal(
+        clip, np.stack([originals["clipA"][i][2:18, 4:20] for i in range(3)]))
+
+
+def test_lmdb_dataset_end_to_end(tmp_path, rng, lmdb_shim):
+    """UnpairedClipDataset over an LMDBStore: the training data path the
+    reference runs on LMDB (`base_dataset.py:48-66`)."""
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(
+        osp.abspath(__file__))), "scripts"))
+    import create_records
+
+    raw = tmp_path / "raw"
+    for seq in ("v0", "v1"):
+        d = raw / seq
+        d.mkdir(parents=True)
+        frames = (rng.random((5, 44, 44, 3)) * 255).astype(np.uint8)
+        for i in range(5):
+            cv2.imwrite(str(d / f"{i:04d}.png"), frames[i][..., ::-1])
+    out = str(tmp_path / "GT.lmdb")
+    create_records.build_lmdb(str(raw), out)
+
+    from tecogan_tpu.data import UnpairedClipDataset
+
+    ds = UnpairedClipDataset(out, crop_size=32, tempo_extent=3)
+    item = ds[(0, np.random.default_rng(0))]
+    assert item["gt"].shape == (3, 32, 32, 3)
