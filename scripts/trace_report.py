@@ -1,0 +1,184 @@
+"""Capture a jax.profiler trace of a pipeline and print a per-op time table.
+
+Usage:
+    python scripts/trace_report.py infer   # streaming inference (bench shape)
+    python scripts/trace_report.py tecogan # TecoGAN GAN training step
+    python scripts/trace_report.py frvsr   # FRVSR training step
+
+Parses the XLA-op lines of the xplane proto (via tensorflow's profiler
+protos, present in this environment) and aggregates device time by HLO
+category / op name, so kernel-level optimisation work has numbers to aim at.
+"""
+
+import glob
+import os
+import os.path as osp
+import sys
+import tempfile
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def _capture(fn, *args):
+    """Run fn once compiled, then trace 3 executions; return trace dir."""
+    import jax
+
+    tmp = tempfile.mkdtemp(prefix="tecogan_trace_")
+    fn(*args)  # compile + warmup
+    with jax.profiler.trace(tmp):
+        for _ in range(3):
+            jax.block_until_ready(fn(*args))
+    return tmp
+
+
+def _report(trace_dir, top=40):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(osp.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane under {trace_dir}"
+    xspace = xplane_pb2.XSpace()
+    with open(paths[0], "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    # The device plane's 'XLA Ops' line nests envelope events (while/fusion
+    # bodies inside while ops): compute SELF time per event by subtracting
+    # enclosed children, then aggregate by op name.
+    agg = {}
+    total_ps = 0
+    for plane in xspace.planes:
+        if "/device:TPU" not in plane.name:
+            continue
+        md = plane.event_metadata
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            evs = sorted(line.events,
+                         key=lambda e: (e.offset_ps, -e.duration_ps))
+            stack = []  # (end_ps, [child_total])
+            for ev in evs:
+                start, dur = ev.offset_ps, ev.duration_ps
+                while stack and start >= stack[-1][0]:
+                    stack.pop()
+                if stack:
+                    stack[-1][1][0] += dur
+                child_acc = [0]
+                stack.append((start + dur, child_acc))
+                name = md[ev.metadata_id].name
+                # defer self-time: record (name, dur, child_acc)
+                ev_rec = (name, dur, child_acc)
+                agg.setdefault(name, []).append(ev_rec)
+    flat = {}
+    for name, recs in agg.items():
+        self_ps = sum(dur - acc[0] for _, dur, acc in recs)
+        flat[name] = self_ps
+        total_ps += self_ps
+    rows = sorted(flat.items(), key=lambda kv: -kv[1])[:top]
+    print(f"{'self us (3 runs)':>18s}  {'%':>5s}  op")
+    for name, ps in rows:
+        print(f"{ps / 1e6:18.1f}  {100 * ps / max(total_ps, 1):5.1f}  "
+              f"{name[:130]}")
+    print(f"{total_ps / 1e6:18.1f}  100.0  TOTAL")
+    return flat
+
+
+def infer_case():
+    import jax
+    import jax.numpy as jnp
+
+    from tecogan_tpu.models.networks import (FRNetConfig, infer_sequence,
+                                             init_frnet)
+    cfg = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD",
+                      compute_dtype="bfloat16")
+    params = init_frnet(jax.random.PRNGKey(0), cfg)
+    lr = jax.random.uniform(jax.random.PRNGKey(1), (64, 134, 320, 3),
+                            jnp.float32)
+
+    @jax.jit
+    def run(p, x):
+        return jnp.sum(infer_sequence(p, x, cfg, chunk=32).astype(jnp.int32))
+
+    return run, (params, lr)
+
+
+def _train_case(model_name):
+    """Same construction as scripts/bench_suite.py::_train_iter."""
+    import functools
+
+    import jax
+    import numpy as np
+
+    from tecogan_tpu.models.networks import (
+        FRNetConfig, STNetConfig, init_frnet, init_stnet, init_vgg19)
+    from tecogan_tpu.models.schedules import make_adam
+    from tecogan_tpu.models.steps import (
+        TrainConfig, frvsr_init_state, frvsr_train_step,
+        tecogan_init_state, tecogan_train_step)
+    from tecogan_tpu.parallel import batch_sharding, get_mesh, replicated
+
+    mesh = get_mesh()
+    rng = np.random.default_rng(0)
+    batch = {"gt": jax.device_put(
+        (rng.random((4, 10, 136, 136, 3)) * 255).astype(np.uint8),
+        batch_sharding(mesh))}
+    cfg_g = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD")
+    base = dict(scale=4, degradation="BD", sigma=1.5, tempo_extent=10,
+                pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},
+                warping_crit={"type": "CB", "weight": 1, "reduction": "mean"})
+    tx_g, _ = make_adam({"lr": 1e-4})
+
+    if model_name == "frvsr":
+        tcfg = TrainConfig(**base)
+        state = jax.device_put(
+            frvsr_init_state(init_frnet(jax.random.PRNGKey(0), cfg_g), tx_g),
+            replicated(mesh))
+        step = jax.jit(functools.partial(
+            frvsr_train_step, cfg_g=cfg_g, tcfg=tcfg, tx_g=tx_g))
+        run = lambda s: step(s, batch)  # noqa: E731
+    else:
+        cfg_d = STNetConfig(spatial_size=128, degradation="BD", scale=4)
+        tcfg = TrainConfig(
+            **base,
+            feature_crit={"type": "CosineSimilarity", "weight": 0.2,
+                          "feature_layers": [8, 17, 26, 35]},
+            pingpong_crit={"type": "CB", "weight": 0.5, "reduction": "mean"},
+            gan_crit={"type": "GAN", "weight": 0.01, "reduction": "mean"},
+            update_policy="adaptive")
+        tx_d, _ = make_adam({"lr": 5e-5})
+        vgg = jax.device_put(init_vgg19(jax.random.PRNGKey(2)),
+                             replicated(mesh))
+        state = jax.device_put(tecogan_init_state(
+            init_frnet(jax.random.PRNGKey(0), cfg_g),
+            init_stnet(jax.random.PRNGKey(1), cfg_d), tx_g, tx_d),
+            replicated(mesh))
+        step = jax.jit(functools.partial(
+            tecogan_train_step, cfg_g=cfg_g, cfg_d=cfg_d, tcfg=tcfg,
+            tx_g=tx_g, tx_d=tx_d))
+        run = lambda s: step(s, batch, vgg_params=vgg)[1]  # noqa: E731
+
+    def run_block(state=state):
+        out = run(state)
+        jax.block_until_ready(out)
+        return out
+
+    return run_block, ()
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "infer"
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      osp.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    if which == "infer":
+        fn, args = infer_case()
+    else:
+        fn, args = _train_case(which)
+    trace_dir = _capture(fn, *args)
+    print(f"trace: {trace_dir}")
+    _report(trace_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,10 @@ __all__ = [
     "init_kaiming_normal",
     "init_batch_norm",
     "cast_params",
+    "pack_conv3x3_kernel",
+    "pack_conv3x3_as2x2_kernel",
+    "packed2_phase_unshift",
+    "conv2d_transpose_packed",
 ]
 
 
@@ -215,6 +219,67 @@ def pack_conv3x3_kernel(w_hwio: jnp.ndarray) -> jnp.ndarray:
             cols.append(jnp.concatenate(in_blocks, axis=0))
         rows.append(jnp.stack(cols, 0))
     return jnp.stack(rows, 0)  # (3, 3, 4*cin, 4*cout)
+
+
+def pack_conv3x3_as2x2_kernel(w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """3x3 conv over a 2x grid as a 2x2-TAP conv over the packed layout,
+    with phase-shifted output reads: returns (2, 2, 4*cin, 4*cout).
+
+    ``pack_conv3x3_kernel``'s (3, 3, 4*cin, ...) kernel carries 4x
+    structural zeros (each output phase touches only a 2x2-cell window of
+    the 3x3), and a dense MXU contraction cannot skip them; at 12 true
+    output channels the lane floor makes the contraction cost proportional
+    to M * K alone, so shrinking K from 9*4*cin to 4*4*cin is a ~2.2x FLOP
+    cut on the SR tail's conv_out. The trick: give every output phase its
+    OWN output position so all phases share one 2x2-cell input window —
+    phase (py, px)'s value for cell (I, J) is emitted at (I+py-1, J+px-1):
+
+        z = conv(x_p2, W2, padding=((1, 1), (1, 1)))     # (h2+1, w2+1, 4co)
+        out[..., I, J, (py*2+px)*co + c] = z[..., I+py, J+px, (py*2+px)*co+c]
+
+    (see ``packed2_phase_unshift``). Tap algebra: output HR row for phase py
+    at window position A is p = 2A + 2 - py; window cell (A+tY) phase ry is
+    HR row 2(A+tY)+ry, so dy = 2*tY + ry + py - 2, kept when |dy| <= 1.
+    Zero cells padded around the packed image supply exactly the HR zero
+    padding (their in-range rows ARE the HR pad rows; out-of-range rows get
+    zero weight). Exact numerics; traceable (gradients flow to w_hwio).
+    """
+    kh, kw, cin, cout = w_hwio.shape
+    assert kh == 3 and kw == 3
+    zero = jnp.zeros((cin, cout), w_hwio.dtype)
+    rows = []
+    for ty in range(2):
+        cols = []
+        for tx in range(2):
+            in_blocks = []
+            for ry in range(2):
+                for rx in range(2):
+                    out_blocks = []
+                    for py in range(2):
+                        for px in range(2):
+                            dy = 2 * ty + ry + py - 2
+                            dx = 2 * tx + rx + px - 2
+                            if -1 <= dy <= 1 and -1 <= dx <= 1:
+                                out_blocks.append(w_hwio[dy + 1, dx + 1])
+                            else:
+                                out_blocks.append(zero)
+                    in_blocks.append(jnp.concatenate(out_blocks, axis=-1))
+            cols.append(jnp.concatenate(in_blocks, axis=0))
+        rows.append(jnp.stack(cols, 0))
+    return jnp.stack(rows, 0)  # (2, 2, 4*cin, 4*cout)
+
+
+def packed2_phase_unshift(z: jnp.ndarray, cout: int) -> jnp.ndarray:
+    """Reassemble ``pack_conv3x3_as2x2_kernel`` conv output: read phase
+    group (py, px) at spatial offset (py, px). (…, h2+1, w2+1, 4*cout) ->
+    (…, h2, w2, 4*cout)."""
+    h2, w2 = z.shape[-3] - 1, z.shape[-2] - 1
+    parts = []
+    for py in range(2):
+        for px in range(2):
+            g = (py * 2 + px) * cout
+            parts.append(z[..., py:py + h2, px:px + w2, g:g + cout])
+    return jnp.concatenate(parts, axis=-1)
 
 
 def conv2d_transpose(p, x, stride: int = 2, padding: int = 1,

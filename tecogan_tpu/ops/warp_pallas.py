@@ -37,7 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["backward_warp_pallas"]
 
-_TH, _TW = 8, 128
+# output tile: 32 rows amortises the per-tile coordinate setup and loop
+# management (measured 1.18 -> 0.90 ms on a 536x1280x3 warp vs 8 rows;
+# 40+ rows regress — the displacement range over a taller tile widens)
+_TH, _TW = 32, 128
 
 
 def _warp_kernel(fy_ref, fx_ref, img_ref, out_ref, *, c: int, th: int,
