@@ -41,7 +41,7 @@ def _fps_infer(dtype):
     return t / min(times)
 
 
-def _train_iter(model):
+def _train_iter(model, mixed_precision=False, report_mfu=False):
     import jax
 
     from tecogan_tpu.models.networks import (
@@ -59,6 +59,7 @@ def _train_iter(model):
         batch_sharding(mesh))}
     cfg_g = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD")
     base = dict(scale=4, degradation="BD", sigma=1.5, tempo_extent=10,
+                mixed_precision=mixed_precision,
                 pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},
                 warping_crit={"type": "CB", "weight": 1, "reduction": "mean"})
     tx_g, _ = make_adam({"lr": 1e-4})
@@ -101,7 +102,17 @@ def _train_iter(model):
         state, logs = run(state)
         float(logs["l_pix_G"])
         times.append(time.perf_counter() - t0)
-    return min(times)
+    t_iter = min(times)
+    if report_mfu:
+        # XLA's own FLOP count for the whole compiled step -> model FLOP
+        # utilisation against the chip's bf16 peak (197 TF/s on v5e/lite)
+        if model == "frvsr":
+            compiled = step.lower(state, batch).compile()
+        else:
+            compiled = step.lower(state, batch, vgg_params=vgg).compile()
+        flops = compiled.cost_analysis().get("flops", 0.0)
+        return t_iter, flops / t_iter
+    return t_iter
 
 
 def _loader_rate(tmpdir):
@@ -145,9 +156,15 @@ def main():
     rows.append(("FRVSR train step (batch 4 x 10 frames x 128^2 GT)",
                  f"{t_fr * 1000:.0f} ms/iter = {4 / t_fr:.1f} clips/s",
                  "the reference's full 2-GPU geometry on one chip"))
-    t_tg = _train_iter("tecogan")
+    t_tg, fps_tg = _train_iter("tecogan", report_mfu=True)
     rows.append(("TecoGAN GAN step (same geometry, all losses)",
-                 f"{t_tg * 1000:.0f} ms/iter = {4 / t_tg:.1f} clips/s", ""))
+                 f"{t_tg * 1000:.0f} ms/iter = {4 / t_tg:.1f} clips/s",
+                 f"{fps_tg / 1e12:.1f} TF/s sustained = "
+                 f"{100 * fps_tg / 197e12:.0f}% of bf16 peak (fp32 step)"))
+    t_mx = _train_iter("tecogan", mixed_precision=True)
+    rows.append(("TecoGAN GAN step, mixed_precision: true (bf16 compute, "
+                 "fp32 master/losses)",
+                 f"{t_mx * 1000:.0f} ms/iter = {4 / t_mx:.1f} clips/s", ""))
     with tempfile.TemporaryDirectory() as d:
         rate = _loader_rate(d)
     rows.append(("host input pipeline (native clip assembler)",

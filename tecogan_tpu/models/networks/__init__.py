@@ -22,7 +22,9 @@ from .discriminators import (
     init_stnet,
     snet_apply,
     stnet_apply,
+    build_d_input,
     build_flow_merge,
+    trunk_apply,
 )
 from .vgg import init_vgg19, vgg19_features
 
@@ -89,6 +91,8 @@ __all__ = [
     "srnet_apply",
     "stnet_apply",
     "snet_apply",
+    "build_d_input",
+    "trunk_apply",
     "vgg19_features",
     "forward_sequence",
     "infer_sequence",

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ... import nn
-from ...ops import backward_warp, get_upsampling_fn
+from ...ops import backward_warp_diff, get_upsampling_fn
 from .fnet import fnet_apply
 
 _BLOCKS = [(64, 64), (64, 64), (64, 128), (128, 256)]
@@ -155,7 +155,7 @@ def build_stnet_input(data, bi_data, flow_merge, crop_border_ratio: float,
     cond = _pack_triplet(bi_data[:, :t].reshape(n_clip, 3, hh, ww, c))
     orig = _pack_triplet(data[:, :t].reshape(n_clip, 3, hh, ww, c))
 
-    warped = backward_warp(
+    warped = backward_warp_diff(
         data[:, :t].reshape(n * t, hh, ww, c), flow_merge)
     warped = _pack_triplet(warped.reshape(n_clip, 3, hh, ww, c))
 
@@ -171,6 +171,35 @@ def build_stnet_input(data, bi_data, flow_merge, crop_border_ratio: float,
                      (n_pad, s_size - c_size - n_pad), (0, 0)))
 
     return jnp.concatenate([orig, warped, cond], axis=-1)
+
+
+def build_d_input(data, ctx: dict, cfg):
+    """Assemble the discriminator input tensor for ``data`` WITHOUT running
+    the trunk. Split out of the apply functions so the train step can build
+    the (parameter-independent, gradient-free for gt / stop-gradient'd hr)
+    inputs ONCE and reuse them across the vote and loss forwards — the
+    flow warp in the STNet assembly is by far the most expensive part of a
+    D evaluation at the training geometry."""
+    if isinstance(cfg, STNetConfig):
+        flow_merge = ctx.get("flow_merge")
+        if flow_merge is None:
+            flow_merge = build_flow_merge(
+                ctx["hr_flow"], ctx["lr_data"], ctx["fnet_params"], cfg,
+                ctx["use_pp"])
+        return build_stnet_input(
+            data, ctx["bi_data"], flow_merge, ctx["crop_border_ratio"], cfg)
+    n, t, hh, ww, c = data.shape
+    x = data.reshape(n * t, hh, ww, c)
+    if cfg.use_cond:
+        bi = ctx["bi_data"].reshape(n * t, hh, ww, c)
+        x = jnp.concatenate([bi, x], axis=-1)
+    return x
+
+
+def trunk_apply(params, x, train: bool = True):
+    """Run the shared conv trunk on a pre-assembled input (see
+    ``build_d_input``). Returns (logits, feature_list, new_params)."""
+    return _trunk_apply(params, x, train)
 
 
 def stnet_apply(params, data, ctx: dict, cfg: STNetConfig, train: bool = True):
@@ -196,10 +225,6 @@ def stnet_apply(params, data, ctx: dict, cfg: STNetConfig, train: bool = True):
 
 def snet_apply(params, data, ctx: dict, cfg: SNetConfig, train: bool = True):
     """Spatial discriminator over per-frame inputs (`tecogan_nets.py:480-534`)."""
-    n, t, hh, ww, c = data.shape
-    x = data.reshape(n * t, hh, ww, c)
-    if cfg.use_cond:
-        bi = ctx["bi_data"].reshape(n * t, hh, ww, c)
-        x = jnp.concatenate([bi, x], axis=-1)
+    x = build_d_input(data, ctx, cfg)
     logits, feats, new_params = _trunk_apply(params, x, train)
     return logits, feats, {}, new_params

@@ -27,8 +27,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ...ops import (backward_warp, depth_to_space, get_upsampling_fn,
-                    space_to_depth)
+from ...ops import (backward_warp, backward_warp_diff, depth_to_space,
+                    get_upsampling_fn, space_to_depth)
 from .fnet import fnet_apply, init_fnet
 from .srnet import init_srnet, srnet_apply
 
@@ -122,8 +122,13 @@ def _inference_warp(cfg: FRNetConfig):
 
 
 def _sr_step(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev, hr_flow,
-             warp_fn=backward_warp):
-    """One recurrence step: warp previous HR, pack, reconstruct."""
+             warp_fn=backward_warp_diff):
+    """One recurrence step: warp previous HR, pack, reconstruct.
+
+    The default warp is the differentiable Pallas custom-VJP path
+    (gather-path fallback off-TPU): the training unroll BPTTs through this
+    warp every frame, and the XLA gather/scatter adjoints dominated the
+    train step before it."""
     hr_warp = warp_fn(hr_prev, hr_flow)
     return srnet_apply(
         srnet_params, lr_curr, space_to_depth(hr_warp, cfg.scale),

@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import backward_warp, bd_border_size, downsample_bd
+from ..ops import backward_warp_diff, bd_border_size, downsample_bd
 from .losses import define_criterion
 from .networks import forward_sequence, snet_apply, stnet_apply, vgg19_features
 from .networks.discriminators import STNetConfig, build_flow_merge
@@ -116,7 +116,7 @@ def prepare_bd_batch(gt, scale: int, sigma: float):
 
 
 def _warp_loss(crit, out):
-    lr_warp = backward_warp(out["lr_prev"], out["lr_flow"])
+    lr_warp = backward_warp_diff(out["lr_prev"], out["lr_flow"])
     return crit(lr_warp, out["lr_curr"])
 
 
@@ -268,11 +268,33 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
         # replaced wholesale from the forward outputs)
         return nn.cast_params(pd, dt)
 
-    # === D phase: real & fake forwards with the current D ===
-    d_run = _cast_d(state["d"]) if tcfg.mixed_precision else state["d"]
-    real_logits, real_feats, _, pd1 = d_apply(
-        d_run, gt, ctx, cfg_d, train=True)
-    fake_logits, _, _, pd2 = d_apply(pd1, hr_sg, ctx, cfg_d, train=True)
+    # === D phase ===
+    # The D inputs for the vote + D loss depend on (gt, hr_sg, flows) but
+    # NOT on D's parameters and carry no gradient, so they are assembled
+    # exactly once — the flow warp inside the STNet assembly dominates a D
+    # evaluation at this geometry, and the naive structure (assembly inside
+    # every d_apply) was measured to spend ~40% of the whole GAN step on
+    # repeated identical warps.
+    from .networks import build_d_input, trunk_apply
+
+    x_real = jax.lax.stop_gradient(build_d_input(gt, ctx, cfg_d))
+    x_fake = jax.lax.stop_gradient(build_d_input(hr_sg, ctx, cfg_d))
+
+    # One value_and_grad produces the vote logits, the fm-loss real
+    # features, the BN stats AND the (conditionally applied) gradients —
+    # the reference reuses its real/fake forwards for the backward the
+    # same way (`vsrgan_model.py:147-188`); value parity is unaffected
+    # because train-mode BN output does not read the running stats.
+    def d_loss_fn(pd):
+        if tcfg.mixed_precision:
+            pd = _cast_d(pd)
+        rl, rfeats, pd1 = trunk_apply(pd, x_real, train=True)
+        fl, _, pd2 = trunk_apply(pd1, x_fake, train=True)
+        loss = gan_crit(rl, True) + gan_crit(fl, False)
+        return loss, (rl, rfeats, fl, pd2)
+
+    (loss_d_val, (real_logits, real_feats, fake_logits, pd2)), grads_d = (
+        jax.value_and_grad(d_loss_fn, has_aux=True)(state["d"]))
 
     # adaptive update vote: global means -> identical verdict on every
     # replica (fp32 regardless of compute dtype)
@@ -286,19 +308,12 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
     else:
         upd_d = jnp.asarray(True)
 
-    def d_loss_fn(pd):
-        if tcfg.mixed_precision:
-            pd = _cast_d(pd)
-        rl, _, _, _ = d_apply(pd, gt, ctx, cfg_d, train=True)
-        fl, _, _, _ = d_apply(pd, hr_sg, ctx, cfg_d, train=True)
-        return gan_crit(rl, True) + gan_crit(fl, False)
-
     def do_update(operand):
         pd, opt_d = operand
-        loss_d, grads_d = jax.value_and_grad(d_loss_fn)(pd)
         updates, new_opt_d = tx_d.update(grads_d, opt_d, pd)
         new_pd = jax.tree.map(lambda p, u: p + u, pd, updates)
-        return new_pd, new_opt_d, loss_d
+        return new_pd, new_opt_d, loss_d_val.astype(
+            pd["dense"]["w"].dtype)
 
     def skip_update(operand):
         pd, opt_d = operand
