@@ -44,7 +44,12 @@ def main():
 
     @jax.jit
     def run_checksum(p, x):
-        out = infer_sequence(p, x, cfg, chunk=32)
+        # whole-clip chunking: for the 64-frame protocol clip a single
+        # chunk maximises the batched-FNet size and removes outer-scan
+        # transitions (chunk sweep: 16 -> 273, 32 -> 285, 64 -> 296 FPS);
+        # shorter/odd-length production sequences should pick chunk ~ t/k
+        # to bound edge padding
+        out = infer_sequence(p, x, cfg, chunk=64)
         return jnp.sum(out.astype(jnp.int32))
 
     int(run_checksum(params, lr))  # warmup / compile
