@@ -89,8 +89,33 @@ def _try_lpips():
         return None
 
 
+def _expand_seq_dirs(result_dirs, target_dirs):
+    """Accept either per-sequence PNG dirs (the reference contract,
+    `evaluate.py:26-45`) or a PARENT dir of sequence subdirs: a dir with
+    no PNGs but matching subdirectory names on both sides is expanded
+    pairwise — passing parents used to silently evaluate 0 frames."""
+    r_out, t_out = [], []
+    for rdir, tdir in zip(result_dirs, target_dirs):
+        if list_png(rdir):
+            r_out.append(rdir)
+            t_out.append(tdir)
+            continue
+        subs = sorted(d for d in os.listdir(rdir)
+                      if osp.isdir(osp.join(rdir, d)))
+        matched = [d for d in subs if osp.isdir(osp.join(tdir, d))]
+        if not matched:
+            print(f"WARNING: no PNGs and no matching sequence subdirs in "
+                  f"{rdir} vs {tdir}")
+            continue
+        for d in matched:
+            r_out.append(osp.join(rdir, d))
+            t_out.append(osp.join(tdir, d))
+    return r_out, t_out
+
+
 def evaluate_folders(result_dirs, target_dirs, output_dir):
     os.makedirs(output_dir, exist_ok=True)
+    result_dirs, target_dirs = _expand_seq_dirs(result_dirs, target_dirs)
     lpips = _try_lpips()
     keys = ["PSNR", "SSIM", "tOF"] + (["LPIPS", "tLP100"] if lpips else [])
 

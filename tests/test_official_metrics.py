@@ -74,6 +74,17 @@ def test_evaluate_folders_end_to_end(tmp_path):
     assert summary2["SSIM"][1] == 1.0
 
 
+def test_evaluate_folders_parent_dir_expansion(tmp_path):
+    """A parent dir of sequence subdirs expands pairwise instead of
+    silently scoring 0 frames."""
+    for seq in ("a", "b"):
+        _write_seq(str(tmp_path / "gt" / seq), seed=3)
+        _write_seq(str(tmp_path / "sr" / seq), seed=3, noise=6.0)
+    summary = evaluate_folders([str(tmp_path / "sr")], [str(tmp_path / "gt")],
+                               str(tmp_path / "log"))
+    assert summary["PSNR"][0] == 8  # 2 seqs x 4 scored frames
+
+
 def test_list_png_numeric_sort(tmp_path):
     d = str(tmp_path / "d")
     os.makedirs(d)
