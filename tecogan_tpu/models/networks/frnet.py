@@ -231,6 +231,53 @@ def _p2_to_planes(hr_packed2, c: int):
     return jnp.stack(planes, axis=1)
 
 
+def _p2_to_flat_rgb(p2, c: int):
+    """packed2 (n, h2, w2, 4c) -> channel-interleaved flat HR
+    (n, 2*h2, 2*w2*c), lane = x*c + ch (the NHWC memory order).
+
+    Same MXU selector trick as ``_p2_to_planes``, but emitting the flat
+    rgb lane order directly: per row-phase ONE (4c -> 2c) selector
+    contraction whose output lanes interleave (t-phase, channel) — a free
+    reshape then yields lane (2J+t)*c+ch — followed by one full-lane row
+    interleave."""
+    import numpy as np
+
+    n, h2, w2, c4 = p2.shape
+    halves = []
+    for r in range(2):
+        sel = np.zeros((c4, 2 * c), np.float32)
+        for t_ in range(2):
+            for ch in range(c):
+                sel[(r * 2 + t_) * c + ch, t_ * c + ch] = 1.0
+        half = jax.lax.dot_general(
+            p2, jnp.asarray(sel, p2.dtype), (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(p2.dtype)
+        halves.append(half.reshape(n, h2, 2 * w2 * c))
+    return jnp.stack(halves, axis=2).reshape(n, 2 * h2, 2 * w2 * c)
+
+
+def _sr_step_flat(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev_p2,
+                  hr_flow):
+    """Streaming step on the channel-interleaved FLAT HR frame: p2 carry ->
+    flat (MXU selectors) -> rgb-lane Pallas warp -> single W-folded conv_in
+    (srnet_apply_hr) -> p2. The flat form is a free reshape of NHWC, so
+    the warp, the W-folded view and conv_in share one layout; conv_in runs
+    as ONE (3s,3,s*c,nf) conv instead of per-colour pieces.
+
+    MEASURED SLOWER than ``_sr_step_planes`` (4.9 vs 3.2 ms/frame at the
+    bench shape): the 12-channel-minor folded conv and the 3-lane
+    interleaved warp lose more to layout padding than the single-conv
+    formulation saves. Kept (exact, tested) as a documented dead end."""
+    from ...ops.warp_pallas import backward_warp_rgb_flat
+    from .srnet import srnet_apply_hr
+
+    c = cfg.out_nc
+    flat = _p2_to_flat_rgb(hr_prev_p2, c)
+    warped = backward_warp_rgb_flat(flat, hr_flow, c)
+    return srnet_apply_hr(srnet_params, lr_curr, warped, cfg.nb, cfg.scale,
+                          cfg.degradation, return_packed=True)
+
+
 def _sr_step_planes(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev_p2,
                     hr_flow):
     """Streaming fast-path step: p2 carry -> planes -> Pallas warp ->

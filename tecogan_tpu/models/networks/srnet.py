@@ -125,7 +125,8 @@ def conv_out_residual_packed(params, outp, lr_curr, scale: int,
 
 
 def srnet_apply_hr(params, lr_curr: jnp.ndarray, hr_warp_flat: jnp.ndarray,
-                   nb: int, scale: int, degradation: str) -> jnp.ndarray:
+                   nb: int, scale: int, degradation: str,
+                   return_packed: bool = False) -> jnp.ndarray:
     """SRNet over the UNPACKED warped HR frame, kept FLAT (n, sh, sw*c).
 
     Equal to ``srnet_apply(params, lr_curr, space_to_depth(hr, s), ...)``
@@ -160,6 +161,8 @@ def srnet_apply_hr(params, lr_curr: jnp.ndarray, hr_warp_flat: jnp.ndarray,
     outp = nn.relu(nn.conv2d_transpose_packed(params[f"up{n_up - 1}"], out))
     outp = conv_out_residual_packed(params, outp, lr_curr, scale,
                                     degradation)
+    if return_packed:
+        return outp  # packed2 (n, sh/2, sw/2, 4c)
 
     # NOTE: a Pallas static-shuffle interleave was tried here and REGRESSED:
     # pallas_call forces a standard layout on its operand, which pushed a

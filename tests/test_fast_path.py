@@ -64,6 +64,40 @@ def test_backward_warp_rgb_matches_gather(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_sr_step_flat_matches_reference_step(rng, monkeypatch):
+    """p2 -> interleaved-flat (MXU selectors) -> rgb-lane warp -> single
+    W-folded conv_in equals the unpacked reference step. (Kept as a
+    documented slower alternative to the planes path — see frnet.py.)"""
+    import functools
+
+    import tecogan_tpu.ops.warp_pallas as wp
+    from tecogan_tpu.models.networks import FRNetConfig
+    from tecogan_tpu.models.networks.frnet import (
+        _p2_to_flat_rgb, _sr_step_flat)
+    from tecogan_tpu.ops import depth_to_space
+
+    monkeypatch.setattr(
+        wp, "backward_warp_rgb_flat",
+        functools.partial(wp.backward_warp_rgb_flat, interpret=True))
+
+    cfg = FRNetConfig(nf=16, nb=2, scale=4, degradation="BD")
+    params = init_srnet(jax.random.PRNGKey(2), 3, 3, cfg.nf, cfg.nb, 4)
+    lr = jnp.asarray(rng.random((1, 8, 32, 3)), jnp.float32)
+    hr_prev = jnp.asarray(rng.random((1, 32, 128, 3)), jnp.float32)
+    flow = jnp.asarray((rng.random((1, 32, 128, 2)) - 0.5) * 7, jnp.float32)
+
+    p2 = space_to_depth(hr_prev, 2)
+    np.testing.assert_array_equal(
+        np.asarray(_p2_to_flat_rgb(p2, 3)),
+        np.asarray(hr_prev.reshape(1, 32, 128 * 3)))
+    got = depth_to_space(_sr_step_flat(cfg, params, lr, p2, flow), 2)
+    ref = srnet_apply(params, lr,
+                      space_to_depth(backward_warp(hr_prev, flow), 4),
+                      cfg.nb, 4, "BD")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_sr_step_planes_matches_reference_step(rng, monkeypatch):
     """p2 -> planes -> (interpret) Pallas warp -> conv_in-on-planes -> p2
     equals warp+s2d+srnet on the unpacked frame."""
