@@ -126,12 +126,16 @@ def _train_iter(model, mixed_precision=False, report_mfu=False):
 
     state, logs = run(state)
     float(logs["l_pix_G"])
+    # pipelined protocol, matching the real train loop: logs are only
+    # materialised every log_freq iterations, so consecutive steps enqueue
+    # asynchronously and the host/tunnel dispatch latency is hidden
     times = []
-    for _ in range(4):
+    for _ in range(3):
         t0 = time.perf_counter()
-        state, logs = run(state)
+        for _ in range(4):
+            state, logs = run(state)
         float(logs["l_pix_G"])
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / 4)
     t_iter = min(times)
     if report_mfu:
         # XLA's own FLOP count for the whole compiled step -> model FLOP
