@@ -91,25 +91,38 @@ def _try_lpips():
 
 def _expand_seq_dirs(result_dirs, target_dirs):
     """Accept either per-sequence PNG dirs (the reference contract,
-    `evaluate.py:26-45`) or a PARENT dir of sequence subdirs: a dir with
-    no PNGs but matching subdirectory names on both sides is expanded
-    pairwise — passing parents used to silently evaluate 0 frames."""
+    `evaluate.py:26-45`) or PARENT dirs of sequence subdirs: when EITHER
+    side of a pair has no PNGs directly, matching subdirectory names are
+    expanded pairwise — passing parents used to silently evaluate
+    0 frames. Pairs that end up frameless on either side are dropped with
+    a warning instead of silently producing NaN rows."""
     r_out, t_out = [], []
     for rdir, tdir in zip(result_dirs, target_dirs):
-        if list_png(rdir):
+        if list_png(rdir) and list_png(tdir):
             r_out.append(rdir)
             t_out.append(tdir)
+            continue
+        # per-sequence results against a parent target dir: match the
+        # result dir's own name inside the target parent
+        t_by_name = osp.join(tdir, osp.basename(osp.normpath(rdir)))
+        if list_png(rdir) and osp.isdir(t_by_name) and list_png(t_by_name):
+            r_out.append(rdir)
+            t_out.append(t_by_name)
             continue
         subs = sorted(d for d in os.listdir(rdir)
                       if osp.isdir(osp.join(rdir, d)))
         matched = [d for d in subs if osp.isdir(osp.join(tdir, d))]
-        if not matched:
-            print(f"WARNING: no PNGs and no matching sequence subdirs in "
-                  f"{rdir} vs {tdir}")
+        expanded = [(osp.join(rdir, d), osp.join(tdir, d)) for d in matched
+                    if list_png(osp.join(rdir, d))
+                    and list_png(osp.join(tdir, d))]
+        if not expanded:
+            print(f"WARNING: no scorable PNG sequences in {rdir} vs {tdir} "
+                  "(need PNGs directly in both dirs, or matching sequence "
+                  "subdirs containing them)")
             continue
-        for d in matched:
-            r_out.append(osp.join(rdir, d))
-            t_out.append(osp.join(tdir, d))
+        for r, t in expanded:
+            r_out.append(r)
+            t_out.append(t)
     return r_out, t_out
 
 
@@ -130,7 +143,10 @@ def evaluate_folders(result_dirs, target_dirs, output_dir):
 
     for fi, (rdir, tdir) in enumerate(zip(result_dirs, target_dirs)):
         outs, tars = list_png(rdir), list_png(tdir)
-        n = len(tars)
+        if len(outs) != len(tars):
+            print(f"WARNING: {rdir} has {len(outs)} frames but {tdir} has "
+                  f"{len(tars)}; scoring the common prefix")
+        n = min(len(tars), len(outs))
         series = {k: [] for k in keys}
         pre = {}
 

@@ -103,10 +103,18 @@ def _dimage_kernel(fy_ref, fx_ref, g_ref, out_ref, *, c: int, th: int,
     dyc = y0 - (i0 + rows)
     dxc = x0 - px
 
-    dy_lo = jnp.min(dyc).astype(jnp.int32)
-    dy_hi = jnp.max(dyc).astype(jnp.int32) + 1
-    dx_lo = jnp.min(dxc).astype(jnp.int32)
-    dx_hi = jnp.max(dxc).astype(jnp.int32) + 1
+    # exclude alignment-padding lanes/rows from the enumeration range:
+    # their clamped coords fake displacements as large as the padding
+    # (w=32 -> wp=128 would add ~96 all-zero-weight dx iterations) while
+    # their masks are zero anyway (padded g is zero)
+    live = jnp.logical_and(px <= w - 1.0, i0 + rows <= h - 1.0)
+    dyc_r = jnp.where(live, dyc, 0.0)
+    dxc_r = jnp.where(live, dxc, 0.0)
+
+    dy_lo = jnp.min(dyc_r).astype(jnp.int32)
+    dy_hi = jnp.max(dyc_r).astype(jnp.int32) + 1
+    dx_lo = jnp.min(dxc_r).astype(jnp.int32)
+    dx_hi = jnp.max(dxc_r).astype(jnp.int32) + 1
 
     g_t = g_ref[0]
     slab = min(th + 8, hp)
@@ -203,8 +211,12 @@ def _dflow_kernel(fy_ref, fx_ref, g_ref, img_ref, dfy_ref, dfx_ref, *,
     y1 = jnp.minimum(y0 + 1.0, h - 1.0)
     dyc = y0 - (i0 + rows)
     dyc1 = y1 - (i0 + rows)
-    dy_lo = jnp.min(dyc).astype(jnp.int32)
-    dy_hi = jnp.max(dyc1).astype(jnp.int32)
+    # padded rows (last row tile) fake large negative displacements via the
+    # coordinate clamp; their outputs are discarded, so keep them out of
+    # the enumeration range
+    live_r = (i0 + rows) <= h - 1.0
+    dy_lo = jnp.min(jnp.where(live_r, dyc, 0.0)).astype(jnp.int32)
+    dy_hi = jnp.max(jnp.where(live_r, dyc1, 0.0)).astype(jnp.int32)
 
     l0 = x0.astype(jnp.int32) * c + ch_lane
     l1 = jnp.minimum(x0.astype(jnp.int32) + 1, w - 1) * c + ch_lane

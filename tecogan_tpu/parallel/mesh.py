@@ -30,23 +30,41 @@ __all__ = [
 ]
 
 
+_DIST_INITIALISED = False
+
+
 def maybe_init_distributed():
     """Initialise multi-host JAX if a coordinator address is configured.
 
     Must run before ANY backend query (`jax.devices()`, `jax.process_count()`,
     ...) — those initialise the local backend and poison multi-host setup.
     Reference analogue: `codes/utils/base_utils.py:51-75` + `dist_utils.py`
-    (NCCL process-group formation at launch). Coordinates via the standard
-    JAX env vars (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
-    JAX_PROCESS_ID) or the platform's auto-detection.
+    (NCCL process-group formation at launch). Launch contract: set
+    JAX_COORDINATOR_ADDRESS plus JAX_NUM_PROCESSES and JAX_PROCESS_ID on
+    every process (JAX itself only auto-detects those two on SLURM/Cloud-TPU/
+    k8s, so they are read from the env here and passed explicitly).
+    Idempotent: repeated calls (e.g. a library consumer calling main() after
+    its own init) are no-ops.
     """
-    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    global _DIST_INITIALISED
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coord or _DIST_INITIALISED:
         return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
     try:
-        jax.distributed.initialize()
-    except RuntimeError as e:  # already initialised (idempotent call)
-        if "already" not in str(e).lower():
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc) if nproc is not None else None,
+            process_id=int(pid) if pid is not None else None,
+        )
+    except RuntimeError as e:
+        # jax raises 'distributed.initialize should only be called once.'
+        # when another component initialised first — treat as success
+        if "only be called once" not in str(e) and "already" not in str(
+                e).lower():
             raise
+    _DIST_INITIALISED = True
 
 
 def get_mesh(n_devices: int | None = None, devices=None) -> Mesh:

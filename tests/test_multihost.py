@@ -30,14 +30,22 @@ _WORKER = textwrap.dedent("""
     import json, os, sys, types
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    # the documented multi-host launch contract (see
+    # parallel/mesh.py::maybe_init_distributed): coordinator + explicit
+    # process count/id via env vars
+    coord, nproc, pid = sys.argv[1], sys.argv[2], sys.argv[3]
+    os.environ["JAX_COORDINATOR_ADDRESS"] = coord
+    os.environ["JAX_NUM_PROCESSES"] = nproc
+    os.environ["JAX_PROCESS_ID"] = pid
     import jax
     jax.config.update("jax_platforms", "cpu")
-    coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
-    jax.distributed.initialize(coordinator_address=coord,
-                               num_processes=nproc, process_id=pid)
+    from tecogan_tpu.parallel import maybe_init_distributed
+    maybe_init_distributed()
+    maybe_init_distributed()  # idempotent re-entry must be a no-op
+    assert jax.process_count() == int(nproc)
     from tecogan_tpu.main import _allgather_metrics
     calc = types.SimpleNamespace(
-        avg_metric_dict={f"seq_{pid}": {"PSNR": 20.0 + pid}})
+        avg_metric_dict={f"seq_{pid}": {"PSNR": 20.0 + int(pid)}})
     _allgather_metrics(calc)
     print("MERGED:" + json.dumps(calc.avg_metric_dict))
 """)
