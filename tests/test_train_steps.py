@@ -127,3 +127,57 @@ def test_tecogan_d_update_follows_vote(rng):
     state, logs = step(state, batch, vgg_params=vgg)
     assert float(logs["n_upd_D"]) == 1.0
     assert float(logs["l_gan_D"]) > 0.0
+
+
+def test_tecogan_step_dp8_matches_single_device(rng):
+    """The dp=8-sharded GAN step equals the SAME step on one device for an
+    identical global batch: losses, vote distance, updated G AND D params.
+
+    This certifies the collective semantics end-to-end — global-mean
+    losses, SyncBN-equivalent batch statistics, the adaptive-D vote and
+    the grad psums are exactly the single-device computation, only
+    sharded. (Reference surface: DDP allreduce + SyncBN + the
+    dist.all_reduce vote, `base_model.py:130-136`,
+    `vsrgan_model.py:160-198`.)"""
+    tx_g, _ = make_adam({"lr": 5e-5})
+    tx_d, _ = make_adam({"lr": 5e-5})
+    pg = init_frnet(jax.random.PRNGKey(0), CFG_G)
+    pd = init_stnet(jax.random.PRNGKey(1), CFG_D)
+    vgg = init_vgg19(jax.random.PRNGKey(2))
+    gt = rng.random((8, 3, 40, 40, 3)).astype(np.float32)
+
+    results = {}
+    for name, n_dev in (("dp8", 8), ("dp1", 1)):
+        mesh = get_mesh(n_dev)
+        state = jax.device_put(
+            tecogan_init_state(pg, pd, tx_g, tx_d), replicated(mesh))
+        vgg_m = jax.device_put(vgg, replicated(mesh))
+        step = jax.jit(functools.partial(
+            tecogan_train_step, cfg_g=CFG_G, cfg_d=CFG_D, tcfg=TCFG,
+            tx_g=tx_g, tx_d=tx_d))
+        batch = {"gt": jax.device_put(jnp.asarray(gt),
+                                      batch_sharding(mesh))}
+        state, logs = step(state, batch, vgg_params=vgg_m)
+        results[name] = (jax.device_get(state), jax.device_get(logs))
+
+    s8, l8 = results["dp8"]
+    s1, l1 = results["dp1"]
+    for k in ("l_pix_G", "l_gan_D", "distance", "n_upd_D", "l_feat_G"):
+        np.testing.assert_allclose(l8[k], l1[k], rtol=2e-5, atol=1e-6)
+    # Param oracle must tolerate Adam's first-step sign sensitivity: with
+    # zero-init moments the update is ~ +-lr * sign(grad), so elements whose
+    # tiny gradient flips sign under sharded-reduction reassociation differ
+    # by up to 2*lr. A real collective bug (wrong mean scale, missing psum)
+    # perturbs EVERY element by O(lr); reassociation flips only isolated
+    # near-zero-gradient ones.
+    lr = 5e-5
+    for grp in ("g", "d"):
+        for x8, x1 in zip(jax.tree.leaves(s8[grp]),
+                          jax.tree.leaves(s1[grp])):
+            diff = np.abs(np.asarray(x8) - np.asarray(x1))
+            assert diff.max() <= 3 * lr, diff.max()
+            # materially different updates (beyond plain fp32 noise) must
+            # stay isolated sign-flips, never a systematic shift; small
+            # leaves (biases) get an absolute allowance of a few flips
+            n_flip = int((diff > lr / 2).sum())
+            assert n_flip <= max(3, 0.01 * diff.size), (n_flip, diff.size)
