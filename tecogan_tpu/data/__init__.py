@@ -51,8 +51,13 @@ def create_dataloader(opt, phase: str, idx: str, n_devices: int = 1):
                 scale=opt["scale"], gt_crop_size=data_opt["gt_crop_size"],
                 **common)
         elif degradation == "BD":
+            from ..ops.degrade import bd_border_size
+
             sigma = opt["dataset"]["degradation"]["sigma"]
-            enlarged = data_opt["crop_size"] + 2 * int(sigma * 3.0)
+            # the same border constant the in-step BD crop consumes
+            # (steps.prepare_bd_batch); sharing the helper keeps the two
+            # sides in lockstep
+            enlarged = data_opt["crop_size"] + 2 * bd_border_size(sigma)
             dataset = UnpairedClipDataset(
                 data_opt["seq_dir"], crop_size=enlarged, **common)
         else:

@@ -45,11 +45,23 @@ def _filter_keys(keys, filter_file, parse=lambda k: parse_key(k)[0]):
     return [k for k in keys if parse(k) in sel]
 
 
+def _reflect_index(i: int, tot: int) -> int:
+    """Temporal reflect padding that stays valid for ANY overrun: the
+    single-bounce formula 2*tot-i-2 (reference
+    `unpaired_lmdb_dataset.py:70-75`) goes negative when a sequence is
+    shorter than tempo_extent; full reflection (period 2*tot-2) matches it
+    on the first bounce and keeps bouncing instead of producing a negative
+    frame index (which the mmap store would turn into garbage bytes)."""
+    if tot == 1:
+        return 0
+    period = 2 * tot - 2
+    i %= period
+    return i if i < tot else period - i
+
+
 def _clip_keys(key, tempo_extent):
     vid, (tot, h, w), cur = parse_key(key)
-    idxs = []
-    for i in range(cur, cur + tempo_extent):
-        idxs.append(2 * tot - i - 2 if i >= tot else i)
+    idxs = [_reflect_index(i, tot) for i in range(cur, cur + tempo_extent)]
     return [make_key(vid, tot, h, w, i) for i in idxs], (tot, h, w)
 
 
@@ -166,8 +178,9 @@ class PairedClipDataset:
         t, s = self.tempo_extent, self.scale
         gcsz = self.gt_crop_size
         lcsz = gcsz // s
-        _, (_, _, _), _ = parse_key(gt_key)
+        _, (_, gh, gw), _ = parse_key(gt_key)
         _, (_, lh, lw), _ = parse_key(lr_key)
+        assert gh == s * lh and gw == s * lw, (gt_key, lr_key)
 
         if self.moving_first_frame and rng.uniform() > self.moving_factor:
             pos, rang = _random_walk(rng, t, -1.5, 1.5)

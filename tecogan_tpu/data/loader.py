@@ -52,6 +52,19 @@ class TrainLoader:
             rng = np.random.default_rng((self.seed, epoch_idx, int(i)))
             return self.dataset[(int(i), rng)]
 
+        def put_or_stop(item):
+            """Blocking put that still observes `stop`: the consumer may
+            exit mid-epoch (total_iter reached, exception) with the queue
+            full — a plain put would park this thread forever, leaking the
+            worker pool and the prefetched batches."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 from concurrent.futures import ThreadPoolExecutor
@@ -65,11 +78,15 @@ class TrainLoader:
                             k: np.stack([s[k] for s in samples])
                             for k in samples[0]
                         }
-                        out_q.put(batch)
+                        if not put_or_stop(batch):
+                            return
             except Exception as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                put_or_stop(e)
             finally:
-                out_q.put(None)
+                try:
+                    out_q.put_nowait(None)
+                except queue.Full:
+                    pass  # consumer already gone
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

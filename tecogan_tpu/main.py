@@ -119,7 +119,11 @@ def train(opt):
             for batch in train_loader.epoch(epoch):
                 it += 1
                 curr_iter = start_iter + it
-                if it > total_iter:
+                # total_iter is the GLOBAL budget: a resumed run (auto-
+                # resume sets start_iter to the checkpoint step) finishes
+                # the remaining iterations instead of training total_iter
+                # more
+                if curr_iter > total_iter:
                     return
 
                 batch = model.prepare_training_data(batch)

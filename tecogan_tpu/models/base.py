@@ -36,10 +36,20 @@ class BaseVSRModel:
         self.scale = opt["scale"]
         self.is_train = opt.get("is_train", False)
         if mesh is None:
-            ids = opt.get("device_ids") or None
-            devs = jax.devices()
-            if ids:
-                devs = [devs[i] for i in ids if i < len(devs)]
+            ids = opt.get("device_ids")
+            if ids is not None and len(ids) == 0:
+                # --gpu_ids -1 (config.py): explicit CPU run
+                devs = jax.devices("cpu")
+            elif ids:
+                devs = jax.devices()
+                bad = [i for i in ids if i >= len(devs)]
+                if bad:
+                    raise ValueError(
+                        f"device ids {bad} out of range: only "
+                        f"{len(devs)} devices available")
+                devs = [devs[i] for i in ids]
+            else:
+                devs = jax.devices()
             mesh = get_mesh(devices=devs)
         self.mesh = mesh
         self.log_decay = opt.get("logger", {}).get("decay", 0.99)

@@ -414,8 +414,13 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
         params = nn.cast_params(params, dt)
         lr_seqs = lr_seqs.astype(dt)
 
-    # pad to a multiple of `chunk` with edge frames (trimmed after)
+    # balance chunks to the sequence length: ceil(t / n_chunks) keeps the
+    # chunk COUNT the user's `chunk` implies but shrinks the last-chunk
+    # edge padding (a 41-frame Vid4 clip at chunk=16 pays 7 padded frames
+    # naively, 1 after balancing). Each distinct (t, h, w) already
+    # compiles its own program, so this costs no extra compilations.
     n_chunks = -(-t // chunk)
+    chunk = -(-t // n_chunks)
     pad = n_chunks * chunk - t
     if pad:
         lr_seqs = jnp.concatenate(

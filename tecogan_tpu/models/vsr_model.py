@@ -68,11 +68,13 @@ class VSRModel(BaseVSRModel):
         (`vsr_model.py:97-113`).
         """
         lr_data, n_pad = self.pad_sequence(lr_data)
-        key = (lr_data.shape, chunk)
-        if key not in self._infer_fn_cache:
-            self._infer_fn_cache[key] = jax.jit(
+        # one jit wrapper per chunk size (bounded); jit's own cache handles
+        # per-shape retraces — keying the dict by input shape would hold a
+        # duplicate executable per sequence geometry forever
+        if chunk not in self._infer_fn_cache:
+            self._infer_fn_cache[chunk] = jax.jit(
                 functools.partial(infer_sequence, cfg=self.cfg_g, chunk=chunk))
-        hr = self._infer_fn_cache[key](self.state["g"], jnp.asarray(lr_data))
+        hr = self._infer_fn_cache[chunk](self.state["g"], jnp.asarray(lr_data))
         return np.asarray(hr[n_pad:])
 
     # ------------------------------------------------------------------- save

@@ -13,7 +13,6 @@ the same way. GPU-specific flags are reinterpreted for TPU:
 from __future__ import annotations
 
 import argparse
-import os.path as osp
 import random
 
 import numpy as np
@@ -62,9 +61,5 @@ def setup_random_seed(seed: int):
     np.random.seed(seed)
 
 
-def resolve_path(opt, path):
-    """Paths in the YAMLs are relative to the repo/experiment root."""
-    if path and not osp.isabs(path):
-        root = opt.get("root_dir", ".")
-        return osp.join(root, path)
-    return path
+# NOTE: YAML paths resolve against the CWD, matching the reference
+# (train.sh/test.sh run from the repo root).

@@ -138,3 +138,23 @@ def test_all_shipped_configs_construct():
             make_train_config(opt)
             if "discriminator" in opt["model"]:
                 define_discriminator(opt)
+
+
+def test_cli_resume_respects_global_iteration_budget(tiny_exp):
+    """total_iter is the GLOBAL budget: re-launching a finished run
+    auto-resumes at the saved step and trains ZERO further iterations
+    (a resumed run used to train total_iter ADDITIONAL steps)."""
+    from tecogan_tpu.main import main
+
+    args = ["--exp_dir", tiny_exp, "--mode", "train",
+            "--opt", osp.join(tiny_exp, "train.yml"), "--gpu_ids", "0"]
+    main(args)
+    ckpt_dir = osp.join(tiny_exp, "train", "ckpt")
+    state_path = osp.join(ckpt_dir, "state_iter2.npz")
+    mtime = os.path.getmtime(state_path)
+
+    main(args)  # resumed run: budget already consumed
+    files = os.listdir(ckpt_dir)
+    assert not any(f.endswith(".npz") and "iter3" in f or "iter4" in f
+                   for f in files), files
+    assert os.path.getmtime(state_path) == mtime  # not re-written

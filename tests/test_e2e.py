@@ -196,3 +196,46 @@ def test_frvsr_training_loop_runs(records_dir, tmp_path):
     msg = model.get_format_msg(model.state, 0, 2)
     assert msg.startswith("[epoch: 0 | iter: 2 | lr_G: 1.00e-04] ")
     assert "l_pix_G" in msg and "l_warp_G" in msg
+
+
+def test_train_loader_early_exit_stops_producer(records_dir):
+    """Breaking out of an epoch mid-way (total_iter reached, exception)
+    must not leave the producer thread parked in a blocking put."""
+    import threading
+    import time
+
+    ds = UnpairedClipDataset(records_dir, crop_size=32, tempo_extent=3)
+    loader = TrainLoader(ds, batch_size=1, seed=7, num_workers=2)
+    assert len(loader) >= 4  # enough batches to fill the prefetch queue
+    before = {t.ident for t in threading.enumerate()}
+    gen = loader.epoch(0)
+    next(gen)
+    gen.close()  # consumer exits early -> stop event fires
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, f"leaked threads: {extra}"
+
+
+def test_clip_keys_short_sequence_reflection():
+    """Sequences shorter than tempo_extent reflect repeatedly instead of
+    producing negative frame indices (which the mmap store would turn into
+    garbage byte offsets)."""
+    from tecogan_tpu.data.datasets import _clip_keys
+    from tecogan_tpu.data.records import parse_key
+
+    keys, _ = _clip_keys("vid_2x8x8_00000000", tempo_extent=7)
+    idxs = [parse_key(k)[2] for k in keys]
+    assert idxs == [0, 1, 0, 1, 0, 1, 0]
+    assert all(i >= 0 for i in idxs)
+
+    keys, _ = _clip_keys("vid_1x8x8_00000000", tempo_extent=3)
+    assert [parse_key(k)[2] for k in keys] == [0, 0, 0]
+
+    # single bounce unchanged vs the reference formula (tot >= extent)
+    keys, _ = _clip_keys("vid_5x8x8_00000003", tempo_extent=4)
+    assert [parse_key(k)[2] for k in keys] == [3, 4, 3, 2]
