@@ -79,9 +79,15 @@ def build_lmdb(raw_dir, out_dir, filter_file=None, map_gb=200):
 
 
 def check(out_dir, n_samples=3):
-    """Visual spot check: dump a few random frames next to the store."""
-    store = RecordStore(out_dir)
-    print(f"{len(store.keys)} frame keys, {len(store.seq_info)} sequences")
+    """Visual spot check: dump a few random frames next to the store.
+
+    Uses the format auto-detector so it works on both TecoRecords and the
+    LMDB stores this script writes."""
+    from tecogan_tpu.data.records import open_store
+
+    store = open_store(out_dir)
+    n_seq = len({k.rsplit("_", 2)[0] for k in store.keys})
+    print(f"{len(store.keys)} frame keys, ~{n_seq} sequences")
     for _ in range(n_samples):
         key = random.choice(store.keys)
         frm = store.get(key)

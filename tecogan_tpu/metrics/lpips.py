@@ -47,8 +47,6 @@ def alexnet_features(params, x):
     ci = 0
     for spec in _ALEX_CFG:
         if spec == "M":
-            if ci < 5 and len(taps) == ci:
-                pass
             x = _max_pool_3_2(x)
             continue
         cout, k, s, p = spec
@@ -125,11 +123,17 @@ class LPIPS:
                             weights_only=True)
             self.backbone = convert_alexnet(
                 {k: v.numpy() for k, v in sd.items()})
-        import torch
+        if lin_path.endswith(".npz"):
+            from ..utils.ckpt import load_pytree
 
-        lin_sd = torch.load(lin_path, map_location="cpu", weights_only=True)
-        self.lin = convert_lin_heads(
-            {k: v.numpy() for k, v in lin_sd.items()})
+            self.lin = load_pytree(lin_path)
+        else:
+            import torch  # .pth lin heads need torch's unpickler
+
+            lin_sd = torch.load(lin_path, map_location="cpu",
+                                weights_only=True)
+            self.lin = convert_lin_heads(
+                {k: v.numpy() for k, v in lin_sd.items()})
         self._fn = jax.jit(self._distance)
 
     def _distance(self, x, y):

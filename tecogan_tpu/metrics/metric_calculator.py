@@ -52,9 +52,10 @@ class MetricCalculator:
             try:
                 self.lpips = LPIPS(
                     net=self.metric_opt["LPIPS"].get("net", "alex"))
-            except FileNotFoundError as e:
-                # weights unavailable (offline env): skip LPIPS, keep the
-                # rest of the metric stack functional
+            except (FileNotFoundError, ImportError) as e:
+                # weights unavailable (offline env) or torch absent for a
+                # .pth load: skip LPIPS, keep the rest of the metric stack
+                # functional
                 log_info(f"WARNING: LPIPS disabled — {e}")
                 self.metric_opt = {k: v for k, v in self.metric_opt.items()
                                    if k != "LPIPS"}
@@ -75,6 +76,7 @@ class MetricCalculator:
             mh = min(t_img.shape[0], p_img.shape[0])
             mw = min(t_img.shape[1], p_img.shape[1])
             t_img, p_img = t_img[:mh, :mw], p_img[:mh, :mw]
+            cur_gray = None  # per-frame gray cache for tOF
 
             for mtype in self.metric_opt:
                 if mtype == "PSNR":
@@ -85,9 +87,18 @@ class MetricCalculator:
                     per_frame["LPIPS"].append(
                         float(self.lpips(t_img, p_img)[0]))
                 elif mtype == "tOF" and prev is not None:
+                    if cur_gray is None:
+                        cur_gray = (
+                            cv2.cvtColor(t_img, cv2.COLOR_RGB2GRAY),
+                            cv2.cvtColor(p_img, cv2.COLOR_RGB2GRAY))
                     per_frame["tOF"].append(
-                        self._tof(prev[0], t_img, prev[1], p_img))
-            prev = (t_img, p_img)
+                        self._tof(prev[0], cur_gray[0],
+                                  prev[1], cur_gray[1]))
+            if "tOF" in self.metric_opt:
+                if cur_gray is None:
+                    cur_gray = (cv2.cvtColor(t_img, cv2.COLOR_RGB2GRAY),
+                                cv2.cvtColor(p_img, cv2.COLOR_RGB2GRAY))
+                prev = cur_gray
         self.metric_dict[seq_idx] = per_frame
 
     def _psnr(self, t_img, p_img):
@@ -107,12 +118,13 @@ class MetricCalculator:
         return ssim(a, b, data_range=255.0)
 
     @staticmethod
-    def _tof(t_prev, t_cur, p_prev, p_cur):
-        tg = [cv2.cvtColor(x, cv2.COLOR_RGB2GRAY) for x in
-              (t_prev, t_cur, p_prev, p_cur)]
-        true_of = cv2.calcOpticalFlowFarneback(tg[0], tg[1], None,
+    def _tof(t_prev_g, t_cur_g, p_prev_g, p_cur_g):
+        """EPE between GT and SR Farneback flows; args are GRAYSCALE frames
+        (the caller caches each frame's gray conversion so every frame is
+        converted once, not twice)."""
+        true_of = cv2.calcOpticalFlowFarneback(t_prev_g, t_cur_g, None,
                                                **_FARNEBACK)
-        pred_of = cv2.calcOpticalFlowFarneback(tg[2], tg[3], None,
+        pred_of = cv2.calcOpticalFlowFarneback(p_prev_g, p_cur_g, None,
                                                **_FARNEBACK)
         d = true_of - pred_of
         return float(np.mean(np.sqrt(np.sum(d * d, axis=-1))))
@@ -161,8 +173,12 @@ class MetricCalculator:
             if m in entry and not override:
                 continue
             entry[m] = f"{v:.6f}"
-        json_dict = dict(sorted(
-            json_dict.items(),
-            key=lambda kv: int(kv[0].replace("G_iter", ""))))
+        # numeric sort for G_iter<N> keys; arbitrary checkpoint names
+        # (e.g. 'G', 'TecoGAN_BD') sort lexically after them
+        def sort_key(kv):
+            digits = "".join(filter(str.isdigit, kv[0]))
+            return (0, int(digits), kv[0]) if digits else (1, 0, kv[0])
+
+        json_dict = dict(sorted(json_dict.items(), key=sort_key))
         with open(save_path, "w") as f:
             json.dump(json_dict, f, sort_keys=False, indent=4)

@@ -98,6 +98,10 @@ def _expand_seq_dirs(result_dirs, target_dirs):
     a warning instead of silently producing NaN rows."""
     r_out, t_out = [], []
     for rdir, tdir in zip(result_dirs, target_dirs):
+        if not osp.isdir(rdir) or not osp.isdir(tdir):
+            print(f"WARNING: skipping non-existent dir pair: {rdir} vs "
+                  f"{tdir}")
+            continue
         if list_png(rdir) and list_png(tdir):
             r_out.append(rdir)
             t_out.append(tdir)
@@ -135,6 +139,7 @@ def evaluate_folders(result_dirs, target_dirs, output_dir):
     sum_d = {k: 0.0 for k in keys}
     len_d = {k: 0 for k in keys}
     folder_d = {k: 0.0 for k in keys}
+    folder_n = {k: 0 for k in keys}
     avg_rows = {k: [] for k in keys}
 
     log_path = osp.join(output_dir, "metricsfile.txt")
@@ -191,16 +196,18 @@ def evaluate_folders(result_dirs, target_dirs, output_dir):
             pd_dict[f"{k}_{fi:02d}"] = pd.Series(arr)
             mean = float(arr.mean()) if len(arr) else float("nan")
             avg_rows[k].append(mean)
-            sum_d[k] += float(arr.sum())
-            len_d[k] += len(arr)
-            folder_d[k] += mean
+            if len(arr):  # empty series (too-short sequence) must not
+                sum_d[k] += float(arr.sum())  # poison the NaN-free sums
+                len_d[k] += len(arr)
+                folder_d[k] += mean
+                folder_n[k] += 1
         pd.DataFrame(pd_dict).to_csv(csv_path, mode="w" if fi == 0 else "a")
         log.write(f"folder {fi}: {rdir}\n")
 
     summary = {}
     for k in keys:
         frame_avg = sum_d[k] / max(len_d[k], 1)
-        folder_avg = folder_d[k] / max(len(result_dirs), 1)
+        folder_avg = folder_d[k] / max(folder_n[k], 1)
         summary[k] = (len_d[k], frame_avg, folder_avg)
         msg = (f"{k}, total frame {len_d[k]}, total avg {frame_avg:02.4f}, "
                f"folder avg {folder_avg:02.4f}")

@@ -186,9 +186,13 @@ def matlab_imresize_matrix(
     weights = kernel(u[:, None] - taps)
     weights = weights / weights.sum(axis=1, keepdims=True)
 
-    # fold out-of-range taps onto the clamped edge (Matlab's mirror of
-    # indices reduces to clamping for these kernel widths)
-    idx = np.clip(taps, 0, in_size - 1)
+    # Matlab's boundary handling mirrors indices symmetrically
+    # (aux = [1:m, m:-1:1]; 0-indexed: -1 -> 0, -2 -> 1, m -> m-1, ...).
+    # Edge-clamping instead is WRONG for antialiased downscales: the
+    # widened kernel reaches ~(2/scale - 1) px past the border with a few
+    # percent combined weight, which clamping piles onto the edge pixel.
+    j = np.mod(taps, 2 * in_size)
+    idx = np.where(j < in_size, j, 2 * in_size - 1 - j)
     m = np.zeros((out_size, in_size), dtype=np.float64)
     for o in range(out_size):
         np.add.at(m[o], idx[o], weights[o])

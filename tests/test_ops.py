@@ -192,3 +192,47 @@ def test_color_utils(rng):
     f = np.array([-0.1, 0.0, 0.5, 1.0, 1.2], np.float32)
     np.testing.assert_array_equal(
         float32_to_uint8(f), np.array([0, 0, 128, 255, 255], np.uint8))
+
+
+def test_matlab_imresize_matrix_matches_literal_contributions():
+    """Oracle: a literal 1-indexed port of Matlab imresize's
+    contributions() algorithm, including the aux=[1:m, m:-1:1] symmetric
+    boundary mirroring — edge-clamping instead deviates in the border band
+    of antialiased downscales (the widened kernel reaches ~2/scale-1 px
+    past the border)."""
+    from tecogan_tpu.ops.resize import matlab_imresize_matrix
+
+    def matlab_contributions(in_len, out_len, antialias=True):
+        scale = out_len / in_len
+
+        def h(x):
+            x = np.abs(x)
+            x2, x3 = x * x, x ** 3
+            return ((1.5 * x3 - 2.5 * x2 + 1) * (x <= 1)
+                    + (-0.5 * x3 + 2.5 * x2 - 4 * x + 2)
+                    * ((1 < x) & (x <= 2)))
+
+        if scale < 1 and antialias:
+            kernel = lambda x: scale * h(scale * x)  # noqa: E731
+            kernel_width = 4 / scale
+        else:
+            kernel, kernel_width = h, 4.0
+        x = np.arange(1, out_len + 1, dtype=np.float64)
+        u = x / scale + 0.5 * (1 - 1 / scale)
+        left = np.floor(u - kernel_width / 2)
+        P = int(np.ceil(kernel_width)) + 2
+        ind = left[:, None] + np.arange(P)[None, :]
+        w = kernel(u[:, None] - ind)
+        w /= w.sum(1, keepdims=True)
+        aux = np.concatenate([np.arange(1, in_len + 1),
+                              np.arange(in_len, 0, -1)])
+        ind_m = aux[np.mod(ind.astype(np.int64) - 1, aux.size)]
+        M = np.zeros((out_len, in_len))
+        for o in range(out_len):
+            np.add.at(M[o], ind_m[o] - 1, w[o])
+        return M
+
+    for n, out in [(64, 16), (48, 24), (16, 32), (33, 8), (7, 2)]:
+        ours = matlab_imresize_matrix(n, out)
+        ref = matlab_contributions(n, out)
+        np.testing.assert_allclose(ours, ref, atol=1e-7)
