@@ -40,8 +40,18 @@ def _run_test_sets(opt, model, model_idx):
         ds_name = opt["dataset"][dataset_idx]["name"]
         log_info(f"Testing on {ds_name} dataset")
 
-        test_dataset = create_test_dataset(opt, dataset_idx)
-        metric_calculator = create_metric_calculator(opt)
+        # cache per dataset on the model: in-training validation calls this
+        # every test_freq iters, and rebuilding the dataset + metric stack
+        # (incl. LPIPS weight loads) each round is pure wasted I/O
+        cache = getattr(model, "_test_set_cache", None)
+        if cache is None:
+            cache = model._test_set_cache = {}
+        if dataset_idx not in cache:
+            cache[dataset_idx] = (create_test_dataset(opt, dataset_idx),
+                                  create_metric_calculator(opt))
+        test_dataset, metric_calculator = cache[dataset_idx]
+        if metric_calculator is not None:
+            metric_calculator.reset()
 
         for idx in range(rank, len(test_dataset), world):
             data = test_dataset[idx]
@@ -73,14 +83,22 @@ def _run_test_sets(opt, model, model_idx):
 
 
 def _allgather_metrics(metric_calculator):
-    """Merge per-sequence metric averages across hosts (tiny payload)."""
+    """Merge per-sequence metric averages across hosts.
+
+    Two-phase: payload SIZES are allgathered first so every host pads to
+    the true global maximum — a fixed pad cap would make the second
+    allgather shape-mismatch (and crash after all inference work) the
+    moment one host's metric dict outgrows it."""
     import json as _json
 
     from jax.experimental import multihost_utils
 
-    payload = _json.dumps(metric_calculator.avg_metric_dict)
+    payload = _json.dumps(metric_calculator.avg_metric_dict).encode()
+    sizes = multihost_utils.process_allgather(
+        np.asarray([len(payload)], np.int64))
+    cap = int(np.max(sizes))
     gathered = multihost_utils.process_allgather(
-        np.frombuffer(payload.encode().ljust(1 << 16), dtype=np.uint8))
+        np.frombuffer(payload.ljust(cap), dtype=np.uint8))
     merged = {}
     for row in np.atleast_2d(gathered):
         merged.update(_json.loads(bytes(row).decode().rstrip()))
@@ -88,6 +106,8 @@ def _allgather_metrics(metric_calculator):
 
 
 def train(opt):
+    import jax
+
     log_info(f'{20 * "-"} Configurations {20 * "-"}')
     print_options(opt)
 
@@ -133,7 +153,11 @@ def train(opt):
                     log_info(model.get_format_msg(model.state, epoch,
                                                   curr_iter))
 
-                if ckpt_freq > 0 and curr_iter % ckpt_freq == 0:
+                if (ckpt_freq > 0 and curr_iter % ckpt_freq == 0
+                        and jax.process_index() == 0):
+                    # rank 0 only (reference @master_only): concurrent
+                    # writers on a shared filesystem would race on the
+                    # same checkpoint path
                     model.save(curr_iter)
                     model.save_training_state(model.state, curr_iter)
 
@@ -141,10 +165,13 @@ def train(opt):
                     _run_test_sets(opt, model, f"G_iter{curr_iter}")
     except BaseException:
         # crash/preemption safety the reference lacks: persist the full
-        # training state so auto-resume continues from here
+        # training state so auto-resume continues from here (rank 0 only —
+        # concurrent writers would race on the shared path)
         try:
-            model.save_training_state(model.state, curr_iter)
-            log_info(f"Emergency training state saved at iter {curr_iter}")
+            if jax.process_index() == 0:
+                model.save_training_state(model.state, curr_iter)
+                log_info(f"Emergency training state saved at iter "
+                         f"{curr_iter}")
         except Exception:
             pass
         raise

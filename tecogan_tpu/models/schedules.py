@@ -41,6 +41,10 @@ def cosine_annealing_restart_lr(base_lr, periods, restart_weights, eta_min):
         idx = jnp.sum(step > cum_j)
         idx = jnp.clip(idx, 0, len(periods) - 1)
         frac = (step - starts_j[idx]) / periods_j[idx]
+        # past the last cycle the LR parks at eta_min — the reference
+        # (BasicSR) raises there; letting cos(pi*frac) wrap would RAISE
+        # the LR back toward base_lr mid-training
+        frac = jnp.clip(frac, 0.0, 1.0)
         return eta_min + weights_j[idx] * 0.5 * (base_lr - eta_min) * (
             1.0 + jnp.cos(jnp.pi * frac))
 
@@ -66,11 +70,19 @@ def define_lr_schedule(schedule_opt, base_lr: float):
     raise ValueError(f"Unrecognized lr schedule: {stype}")
 
 
-def make_adam(train_opt: dict):
+def make_adam(train_opt: dict, external_lr: bool = False):
     """YAML train.{generator|discriminator} block -> (optax tx, schedule).
 
     torch-Adam semantics: L2 weight decay is added to the gradient before the
     moment updates (not decoupled), eps inside the sqrt denominator.
+
+    ``external_lr=True`` builds the tx WITHOUT the learning-rate scaling
+    (just the descent sign); the caller multiplies updates by
+    ``schedule(global_step)`` itself. Needed when updates are CONDITIONAL
+    (the adaptive discriminator policy): optax's internal schedule count
+    advances per APPLIED update, so a count-driven schedule would lag the
+    training iteration by every skipped update — the reference steps all
+    schedulers once per iteration (`codes/main.py`, lr_schedules).
     """
     base_lr = train_opt["lr"]
     betas = train_opt.get("betas", (0.9, 0.999))
@@ -81,5 +93,8 @@ def make_adam(train_opt: dict):
     if wd:
         parts.append(optax.add_decayed_weights(wd))
     parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=1e-8))
-    parts.append(optax.scale_by_learning_rate(schedule))
+    if external_lr:
+        parts.append(optax.scale(-1.0))
+    else:
+        parts.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*parts), schedule

@@ -205,8 +205,15 @@ TECOGAN_LOG_KEYS = (
 
 
 def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
-                       tx_g, tx_d, vgg_params=None, log_decay: float = 0.99):
-    """One TecoGAN iteration (`vsrgan_model.py:98-286`)."""
+                       tx_g, tx_d, sched_d=None, vgg_params=None,
+                       log_decay: float = 0.99):
+    """One TecoGAN iteration (`vsrgan_model.py:98-286`).
+
+    ``sched_d``: when tx_d was built with ``make_adam(..., external_lr=
+    True)``, pass its schedule here — D updates are multiplied by
+    ``sched_d(global_step)`` so the D learning rate tracks the training
+    ITERATION, not the (adaptive-policy-dependent) count of applied
+    updates."""
     dt = _compute_dtype(tcfg)
     batch = normalize_batch(batch, dt)
     if tcfg.degradation == "BD" and "lr" not in batch:
@@ -264,9 +271,19 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
             jax.lax.stop_gradient(state["g"]["fnet"]), cfg_d, use_pp)
 
     def _cast_d(pd):
-        # cast conv/dense weights; BN running stats stay fp32 (they are
-        # replaced wholesale from the forward outputs)
-        return nn.cast_params(pd, dt)
+        """Cast conv/dense weights to the compute dtype; BatchNorm leaves
+        stay fp32 — batch_norm computes in fp32 internally anyway, and
+        casting the running mean/var would bf16-quantise the EMA that
+        _merge_bn_stats writes back every step."""
+        def cast(k, v):
+            if k == "bn":
+                return v
+            if isinstance(v, dict):
+                return {k2: cast(k2, v2) for k2, v2 in v.items()}
+            return v.astype(dt) if jnp.issubdtype(v.dtype,
+                                                  jnp.floating) else v
+
+        return {k: cast(k, v) for k, v in pd.items()}
 
     # === D phase ===
     # The D inputs for the vote + D loss depend on (gt, hr_sg, flows) but
@@ -311,6 +328,9 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
     def do_update(operand):
         pd, opt_d = operand
         updates, new_opt_d = tx_d.update(grads_d, opt_d, pd)
+        if sched_d is not None:
+            lr_now = sched_d(state["step"])
+            updates = jax.tree.map(lambda u: u * lr_now, updates)
         new_pd = jax.tree.map(lambda p, u: p + u, pd, updates)
         return new_pd, new_opt_d, loss_d_val.astype(
             pd["dense"]["w"].dtype)

@@ -74,7 +74,16 @@ class VSRModel(BaseVSRModel):
         if chunk not in self._infer_fn_cache:
             self._infer_fn_cache[chunk] = jax.jit(
                 functools.partial(infer_sequence, cfg=self.cfg_g, chunk=chunk))
-        hr = self._infer_fn_cache[chunk](self.state["g"], jnp.asarray(lr_data))
+        g = self.state["g"]
+        if jax.process_count() > 1:
+            # multi-host: the test loop round-robins DIFFERENT sequences
+            # (shapes, counts) to each process, so inference must NOT run
+            # on globally-sharded params — per-rank divergent programs on a
+            # global mesh violate the SPMD gang-scheduling contract and
+            # deadlock. Pull the (replicated) params to this process's
+            # local device and run purely locally.
+            g = jax.device_put(jax.device_get(g), jax.local_devices()[0])
+        hr = self._infer_fn_cache[chunk](g, jnp.asarray(lr_data))
         return np.asarray(hr[n_pad:])
 
     # ------------------------------------------------------------------- save

@@ -55,7 +55,10 @@ class VSRGANModel(VSRModel):
             self.vgg_params = self._load_vgg(opt, seed)
 
         self.tx_g, self.sched_g = make_adam(opt["train"]["generator"])
-        self.tx_d, self.sched_d = make_adam(opt["train"]["discriminator"])
+        # external LR for D: the adaptive policy skips updates, so the
+        # schedule must be driven by the global step (see make_adam)
+        self.tx_d, self.sched_d = make_adam(opt["train"]["discriminator"],
+                                            external_lr=True)
 
         state = tecogan_init_state(params_g, params_d, self.tx_g, self.tx_d)
         self.state = self.replicate(state)
@@ -66,7 +69,7 @@ class VSRGANModel(VSRModel):
             functools.partial(
                 tecogan_train_step, cfg_g=self.cfg_g, cfg_d=self.cfg_d,
                 tcfg=self.tcfg, tx_g=self.tx_g, tx_d=self.tx_d,
-                log_decay=self.log_decay),
+                sched_d=self.sched_d, log_decay=self.log_decay),
             donate_argnums=(0,))
 
     def _load_discriminator(self, path, params_ref):

@@ -59,7 +59,10 @@ def _unflatten(flat):
 def save_pytree(tree, path):
     os.makedirs(osp.dirname(path) or ".", exist_ok=True)
     flat = _flatten(jax.device_get(tree))
-    tmp = path + ".tmp.npz"
+    # pid-unique temp name: even though checkpointing is rank-0-only,
+    # concurrent writers (crashed+relaunched jobs on shared storage) must
+    # never interleave into the same temp file
+    tmp = f"{path}.tmp.{os.getpid()}.npz"
     np.savez(tmp, **flat)
     os.replace(tmp, path)
 

@@ -181,3 +181,46 @@ def test_tecogan_step_dp8_matches_single_device(rng):
             # leaves (biases) get an absolute allowance of a few flips
             n_flip = int((diff > lr / 2).sum())
             assert n_flip <= max(3, 0.01 * diff.size), (n_flip, diff.size)
+
+
+def test_d_schedule_follows_global_step_not_update_count(rng):
+    """With external_lr + sched_d, the D learning rate is driven by the
+    training ITERATION: after stepping past a MultiStepLR milestone the
+    applied D update shrinks by gamma even though (under the adaptive
+    policy) earlier iterations may have skipped their D updates. A
+    count-driven schedule (optax's default) would still be at the
+    pre-milestone LR."""
+    from tecogan_tpu.models.schedules import make_adam
+
+    tx_g, _ = make_adam({"lr": 5e-5})
+    tx_d, sched_d = make_adam(
+        {"lr": 1e-3, "lr_schedule": {"type": "MultiStepLR",
+                                     "milestones": [2], "gamma": 0.1}},
+        external_lr=True)
+    tcfg = TCFG._replace(update_policy="always")
+    pg = init_frnet(jax.random.PRNGKey(0), CFG_G)
+    pd = init_stnet(jax.random.PRNGKey(1), CFG_D)
+    vgg = init_vgg19(jax.random.PRNGKey(2))
+    mesh = get_mesh(1)
+    state = jax.device_put(tecogan_init_state(pg, pd, tx_g, tx_d),
+                           replicated(mesh))
+    vgg = jax.device_put(vgg, replicated(mesh))
+    step = jax.jit(functools.partial(
+        tecogan_train_step, cfg_g=CFG_G, cfg_d=CFG_D, tcfg=tcfg,
+        tx_g=tx_g, tx_d=tx_d, sched_d=sched_d))
+    batch = {"gt": jax.device_put(
+        rng.random((2, 3, 40, 40, 3)).astype(np.float32),
+        batch_sharding(mesh))}
+
+    deltas = []
+    for _ in range(4):
+        d_before = jax.device_get(state["d"])
+        state, logs = step(state, batch, vgg_params=vgg)
+        d_after = jax.device_get(state["d"])
+        deltas.append(float(np.abs(
+            d_after["conv_in"]["w"] - d_before["conv_in"]["w"]).max()))
+    # steps 0..1 run at 1e-3; steps 2..3 at 1e-4: first-step Adam updates
+    # are ~lr*sign(g), so the max-update magnitude drops by ~10x
+    assert deltas[0] > 5 * deltas[3], deltas
+    assert float(sched_d(0)) == pytest.approx(1e-3)
+    assert float(sched_d(2)) == pytest.approx(1e-4)

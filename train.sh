@@ -23,8 +23,22 @@ fi
 mkdir -p "${exp_dir}/train"
 
 yml=train.yml
-if [ "$start_iter" -gt 0 ] && [ -f "${exp_dir}/train_iter${start_iter}.yml" ]; then
-  yml=train_iter${start_iter}.yml
+if [ "$start_iter" -gt 0 ]; then
+  if [ -f "${exp_dir}/train_iter${start_iter}.yml" ]; then
+    yml=train_iter${start_iter}.yml
+  else
+    # resumption relies on auto-resume from the LATEST state checkpoint;
+    # refuse a resume request that cannot be honoured
+    if ! ls "${exp_dir}"/train/ckpt/state_iter*.npz >/dev/null 2>&1; then
+      echo ">> start_iter=${start_iter} requested but no "
+      echo ">> ${exp_dir}/train_iter${start_iter}.yml and no saved"
+      echo ">> training state under ${exp_dir}/train/ckpt — refusing to"
+      echo ">> restart from scratch over an existing experiment."
+      exit 1
+    fi
+    echo ">> no train_iter${start_iter}.yml; auto-resuming from the"
+    echo ">> latest state checkpoint under ${exp_dir}/train/ckpt"
+  fi
 fi
 
 python -m tecogan_tpu.main \
