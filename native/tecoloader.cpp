@@ -128,13 +128,4 @@ void teco_assemble_clip_u8(const uint8_t* blob, const int64_t* frame_offsets,
   for (auto& th : pool) th.join();
 }
 
-// Batched uint8 copy of whole frames (used by the record writer / checker).
-void teco_copy_frames(const uint8_t* blob, const int64_t* frame_offsets,
-                      int32_t t, int64_t frame_bytes, uint8_t* out) {
-  for (int i = 0; i < t; ++i) {
-    memcpy(out + (int64_t)i * frame_bytes, blob + frame_offsets[i],
-           frame_bytes);
-  }
-}
-
 }  // extern "C"

@@ -13,7 +13,7 @@ import yaml
 ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
-def dataset_block(degradation, ds, scale):
+def dataset_block(degradation, ds, scale, model):
     d = {"degradation": {"type": degradation}}
     if degradation == "BD":
         d["degradation"]["sigma"] = 1.5
@@ -34,9 +34,14 @@ def dataset_block(degradation, ds, scale):
         train["lr_seq_dir"] = f"{store}/Bicubic{scale}xLR.lmdb"
         train["gt_crop_size"] = 128
     train.update({"data_type": "rgb", "batch_size_per_gpu": 2,
-                  "num_worker_per_gpu": 4, "pin_memory": True})
+                  "num_worker_per_gpu": 3, "pin_memory": True})
     d["train"] = train
 
+    # test-block worker counts mirror the reference files verbatim
+    # (3 for the two Vimeo configs that ship with 3, else 4)
+    test_workers = {("FRVSR", "VimeoTecoGAN", "BI"): 3,
+                    ("TecoGAN", "VimeoTecoGAN", "BD"): 3}.get(
+                        (model, ds, degradation), 4)
     if ds == "VimeoTecoGAN":
         lr_kind = "Gaussian" if degradation == "BD" else "Bicubic"
         d["test"] = {
@@ -44,7 +49,7 @@ def dataset_block(degradation, ds, scale):
             "gt_seq_dir": "data/Vid4/GT",
             "lr_seq_dir": f"data/Vid4/{lr_kind}{scale}xLR",
             "filter_file": None,
-            "num_worker_per_gpu": 4, "pin_memory": True,
+            "num_worker_per_gpu": test_workers, "pin_memory": True,
         }
     else:
         d["test"] = {
@@ -52,7 +57,7 @@ def dataset_block(degradation, ds, scale):
             "gt_seq_dir": "data/REDS/Raw",
             "lr_seq_dir": None,
             "filter_list": ["000", "011", "015", "020"],
-            "num_worker_per_gpu": 4, "pin_memory": True,
+            "num_worker_per_gpu": test_workers, "pin_memory": True,
         }
     return d
 
@@ -62,7 +67,7 @@ def make_train(model, ds, scale, degradation):
         "scale": scale,
         "manual_seed": 0,
         "verbose": True,
-        "dataset": dataset_block(degradation, ds, scale),
+        "dataset": dataset_block(degradation, ds, scale, model),
         "model": {
             "name": model,
             "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
@@ -83,14 +88,19 @@ def make_train(model, ds, scale, degradation):
             "padding_mode": "reflect",
             "num_pad_front": 5,
         },
-        "metric": {
+        # validation metrics mirror the reference: FRVSR train.ymls carry
+        # PSNR only; TecoGAN adds LPIPS + tOF
+        "metric": ({"PSNR": {"colorspace": "y"}} if model == "FRVSR" else {
             "PSNR": {"colorspace": "y"},
             "LPIPS": {"model": "net-lin", "net": "alex", "colorspace": "rgb",
                       "spatial": False, "version": 0.1},
             "tOF": {"colorspace": "y"},
-        },
+        }),
+        # the reference keys ckpt_freq by config, not by scale: only
+        # FRVSR_REDS_2x ships 10000
         "logger": {"log_freq": 100, "decay": 0.99,
-                   "ckpt_freq": 10000 if scale == 2 else 20000},
+                   "ckpt_freq": (10000 if (model == "FRVSR" and scale == 2)
+                                 else 20000)},
     }
     if model == "FRVSR":
         opt["train"]["total_iter"] = 400000
@@ -101,8 +111,17 @@ def make_train(model, ds, scale, degradation):
             "betas": [0.9, 0.999],
         }
     else:  # TecoGAN: warm-started from FRVSR, adversarial objectives added
-        opt["model"]["generator"]["load_path"] = (
-            f"pretrained_models/FRVSR_{degradation}_iter400000.pth")
+        # warm-start provenance follows the reference: Vimeo configs load
+        # the published FRVSR checkpoint; REDS configs load the user's own
+        # FRVSR run at the SAME dataset/scale (a published 4x Vimeo
+        # checkpoint cannot even load into a 2x generator)
+        if ds == "VimeoTecoGAN":
+            opt["model"]["generator"]["load_path"] = (
+                f"pretrained_models/FRVSR_{degradation}_iter400000.pth")
+        else:
+            opt["model"]["generator"]["load_path"] = (
+                f"experiments_{degradation}/FRVSR/FRVSR_{ds}_{scale}xSR_2GPU"
+                "/train/ckpt/G_iter400000.pth")
         opt["model"]["discriminator"] = {
             "name": "STNet", "in_nc": 3, "tempo_range": 3, "load_path": None}
         opt["train"]["total_iter"] = 500000
@@ -126,12 +145,11 @@ def make_train(model, ds, scale, degradation):
 
 def make_test(model, ds, scale, degradation):
     lr_kind = "Gaussian" if degradation == "BD" else "Bicubic"
-    ckpt = {
-        ("FRVSR", "BD"): "FRVSR_BD_iter400000.pth",
-        ("FRVSR", "BI"): "FRVSR_BI_iter400000.pth",
-        ("TecoGAN", "BD"): f"TecoGAN_{scale}x_BD_{'Vimeo' if ds == 'VimeoTecoGAN' else 'REDS'}_iter500K.pth",
-        ("TecoGAN", "BI"): f"TecoGAN_{scale}x_BI_{'Vimeo' if ds == 'VimeoTecoGAN' else 'REDS'}_iter500K.pth",
-    }[(model, degradation)]
+    # published checkpoint naming, exactly as the reference test.ymls:
+    # {Model}_{scale}x_{BD|BI}_{Vimeo|REDS}_iter{400K|500K}.pth
+    ds_tag = "Vimeo" if ds == "VimeoTecoGAN" else "REDS"
+    iters = "400K" if model == "FRVSR" else "500K"
+    ckpt = f"{model}_{scale}x_{degradation}_{ds_tag}_iter{iters}.pth"
     opt = {
         "scale": scale,
         "manual_seed": 0,
@@ -146,10 +164,23 @@ def make_test(model, ds, scale, degradation):
                           "load_path": f"pretrained_models/{ckpt}"},
         },
         "test": {
-            "save_res": True, "res_dir": "results",
+            # the reference's FRVSR_REDS_2x test.yml is the one metric-only
+            # config (save_res false); all others save frames
+            "save_res": not (model == "FRVSR" and scale == 2),
+            "res_dir": "results",
             "padding_mode": "reflect", "num_pad_front": 5,
         },
     }
+    # only the REDS-2x test.ymls ship metric blocks in the reference
+    if scale == 2:
+        opt["metric"] = ({"PSNR": {"colorspace": "y"}}
+                         if model == "FRVSR" else {
+                             "PSNR": {"colorspace": "y"},
+                             "LPIPS": {"model": "net-lin", "net": "alex",
+                                       "colorspace": "rgb",
+                                       "spatial": False, "version": 0.1},
+                             "tOF": {"colorspace": "y"},
+                         })
     if degradation == "BD":
         opt["dataset"]["degradation"]["sigma"] = 1.5
     if ds == "VimeoTecoGAN":

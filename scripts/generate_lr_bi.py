@@ -40,8 +40,10 @@ def main():
         h, w = gt.shape[1] // s * s, gt.shape[2] // s * s
         gt = gt[:, :h, :w]  # modcrop
         lr = imresize_matlab(gt, scale=1.0 / s)
-        frm_idx = sorted(
-            f for f in os.listdir(seq_dir) if f.endswith(".png"))
+        # same lister as _read_seq so names and frames stay aligned
+        from tecogan_tpu.utils.paths import retrieve_files
+
+        frm_idx = [osp.basename(p) for p in retrieve_files(seq_dir)]
         save_sequence(osp.join(args.lr_dir, seq), float32_to_uint8(lr),
                       frm_idx, to_bgr=True)
         if args.up_dir:

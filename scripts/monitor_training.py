@@ -24,18 +24,14 @@ _KV = re.compile(r"([\w]+):\s*([-+0-9.eE]+)")
 
 
 def parse_log(path):
-    iters, series = [], {}
+    series = {}
     with open(path) as f:
         for line in f:
             m = _LINE.search(line)
             if not m:
                 continue
             it = int(m.group(2))
-            kvs = _KV.findall(m.group(3))
-            if not kvs:
-                continue
-            iters.append(it)
-            for k, v in kvs:
+            for k, v in _KV.findall(m.group(3)):
                 series.setdefault(k, []).append((it, float(v)))
     return series
 

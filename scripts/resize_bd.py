@@ -41,8 +41,12 @@ def main():
         gt = _read_seq(seq_dir, as_float=True)  # (t, h, w, c) float32
         lr = np.asarray(downsample_bd(
             jnp.asarray(gt), args.scale, sigma=args.sigma, pad_data=True))
-        frm_idx = sorted(
-            f for f in os.listdir(seq_dir) if f.endswith(".png"))
+        # frame names from the SAME lister that _read_seq used (recursive,
+        # case-insensitive, png+jpg) — a bare .png listdir would desync
+        # names from frames for .jpg/.PNG sources
+        from tecogan_tpu.utils.paths import retrieve_files
+
+        frm_idx = [osp.basename(p) for p in retrieve_files(seq_dir)]
         save_sequence(osp.join(args.lr_dir, seq), float32_to_uint8(lr),
                       frm_idx, to_bgr=True)
         print(f"{seq}: {gt.shape} -> {lr.shape}")

@@ -44,6 +44,13 @@ def load_library():
     if not osp.exists(path):
         return None
     lib = ctypes.CDLL(path)
+    # a stale .so from an older tree may predate entry points: treat any
+    # missing symbol as "library unavailable" so callers take the numpy
+    # fallback instead of AttributeError-ing deep inside a loader worker
+    for sym in ("teco_mmap_open", "teco_mmap_close",
+                "teco_assemble_clip_f32", "teco_assemble_clip_u8"):
+        if not hasattr(lib, sym):
+            return None
     lib.teco_mmap_open.restype = ctypes.c_void_p
     lib.teco_mmap_open.argtypes = [ctypes.c_char_p,
                                    ctypes.POINTER(ctypes.c_int64)]
@@ -55,8 +62,7 @@ def load_library():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
     ]
     lib.teco_assemble_clip_f32.argtypes = clip_sig
-    if hasattr(lib, "teco_assemble_clip_u8"):
-        lib.teco_assemble_clip_u8.argtypes = clip_sig
+    lib.teco_assemble_clip_u8.argtypes = clip_sig
     _LIB = lib
     return _LIB
 

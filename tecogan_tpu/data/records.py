@@ -134,7 +134,13 @@ class RecordStore(_StoreBase):
             return super().clip(keys, tops, lefts, ch, cw, dtype)
         offs, h, w, c = [], None, None, None
         for key in keys:
-            off, h, w, c = self._frame_offset(key)
+            off, kh, kw, kc = self._frame_offset(key)
+            if h is not None and (kh, kw, kc) != (h, w, c):
+                # the C assembler strides all frames with one geometry;
+                # mixed-resolution keys must take the per-key numpy path
+                # (a wrong stride would silently gather garbage pixels)
+                return super().clip(keys, tops, lefts, ch, cw, dtype)
+            h, w, c = kh, kw, kc
             offs.append(off)
         return self._native.assemble_clip(offs, h, w, c, tops, lefts, ch, cw,
                                           dtype)
