@@ -30,7 +30,8 @@ def _fps_infer(dtype):
 
     @jax.jit
     def run(p, x):
-        return jnp.sum(infer_sequence(p, x, cfg, chunk=16).astype(jnp.int32))
+        # whole-clip chunking, matching bench.py's protocol
+        return jnp.sum(infer_sequence(p, x, cfg, chunk=t).astype(jnp.int32))
 
     int(run(params, lr))
     times = []

@@ -93,3 +93,22 @@ def test_list_png_numeric_sort(tmp_path):
         open(osp.join(d, name), "w").close()
     files = [osp.basename(f) for f in list_png(d)]
     assert files == ["frame1.png", "frame2.png", "frame10.png"]
+
+
+def test_short_sequence_does_not_poison_folder_avg(tmp_path):
+    """A <=5-frame sequence scores no tOF frames; its empty series must
+    not turn the cross-folder averages into NaN."""
+    _write_seq(str(tmp_path / "gt_long"), n=8, seed=3)
+    _write_seq(str(tmp_path / "sr_long"), n=8, seed=3, noise=6.0)
+    _write_seq(str(tmp_path / "gt_short"), n=5, seed=4)
+    _write_seq(str(tmp_path / "sr_short"), n=5, seed=4, noise=6.0)
+
+    summary = evaluate_folders(
+        [str(tmp_path / "sr_long"), str(tmp_path / "sr_short")],
+        [str(tmp_path / "gt_long"), str(tmp_path / "gt_short")],
+        str(tmp_path / "log"))
+    for k, (n, frame_avg, folder_avg) in summary.items():
+        assert np.isfinite(frame_avg), (k, frame_avg)
+        assert np.isfinite(folder_avg), (k, folder_avg)
+    # the long sequence still contributes its 3 tOF frames
+    assert summary["tOF"][0] == 3
