@@ -129,7 +129,9 @@ def test_all_shipped_configs_construct():
         define_discriminator, define_generator)
     from tecogan_tpu.models.steps import make_train_config
 
-    paths = sorted(glob.glob("experiments_*/**/*.yml", recursive=True))
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    paths = sorted(glob.glob(osp.join(repo, "experiments_*", "**", "*.yml"),
+                             recursive=True))
     assert len(paths) >= 16
     for path in paths:
         opt = yaml.safe_load(open(path))
@@ -155,6 +157,6 @@ def test_cli_resume_respects_global_iteration_budget(tiny_exp):
 
     main(args)  # resumed run: budget already consumed
     files = os.listdir(ckpt_dir)
-    assert not any(f.endswith(".npz") and "iter3" in f or "iter4" in f
+    assert not any(f.endswith(".npz") and ("iter3" in f or "iter4" in f)
                    for f in files), files
     assert os.path.getmtime(state_path) == mtime  # not re-written

@@ -207,14 +207,16 @@ def test_train_loader_early_exit_stops_producer(records_dir):
     ds = UnpairedClipDataset(records_dir, crop_size=32, tempo_extent=3)
     loader = TrainLoader(ds, batch_size=1, seed=7, num_workers=2)
     assert len(loader) >= 4  # enough batches to fill the prefetch queue
-    before = {t.ident for t in threading.enumerate()}
+    # compare Thread OBJECTS, not idents — CPython recycles idents of
+    # exited threads, which could mask a genuinely leaked producer
+    before = set(threading.enumerate())
     gen = loader.epoch(0)
     next(gen)
     gen.close()  # consumer exits early -> stop event fires
     deadline = time.time() + 10.0
     while time.time() < deadline:
         extra = [t for t in threading.enumerate()
-                 if t.ident not in before and t.is_alive()]
+                 if t not in before and t.is_alive()]
         if not extra:
             break
         time.sleep(0.05)

@@ -65,8 +65,8 @@ def lmdb_shim(monkeypatch):
     return mod
 
 
-def test_lmdb_write_read_roundtrip(tmp_path, rng, lmdb_shim):
-    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(
+def test_lmdb_write_read_roundtrip(tmp_path, rng, lmdb_shim, monkeypatch):
+    monkeypatch.syspath_prepend(osp.join(osp.dirname(osp.dirname(
         osp.abspath(__file__))), "scripts"))
     import create_records
 
@@ -103,10 +103,10 @@ def test_lmdb_write_read_roundtrip(tmp_path, rng, lmdb_shim):
         clip, np.stack([originals["clipA"][i][2:18, 4:20] for i in range(3)]))
 
 
-def test_lmdb_dataset_end_to_end(tmp_path, rng, lmdb_shim):
+def test_lmdb_dataset_end_to_end(tmp_path, rng, lmdb_shim, monkeypatch):
     """UnpairedClipDataset over an LMDBStore: the training data path the
     reference runs on LMDB (`base_dataset.py:48-66`)."""
-    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(
+    monkeypatch.syspath_prepend(osp.join(osp.dirname(osp.dirname(
         osp.abspath(__file__))), "scripts"))
     import create_records
 

@@ -11,18 +11,7 @@ import jax.numpy as jnp
 from tecogan_tpu.metrics import lpips as lpips_mod
 
 
-def _rand_alexnet_sd(rng):
-    """Random weights in torchvision alexnet state_dict layout."""
-    specs = [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3),
-             (256, 256, 3)]
-    idxs = [0, 3, 6, 8, 10]
-    sd = {}
-    for (co, ci, k), i in zip(specs, idxs):
-        sd[f"features.{i}.weight"] = (
-            rng.standard_normal((co, ci, k, k)).astype(np.float32) * 0.05)
-        sd[f"features.{i}.bias"] = rng.standard_normal(co).astype(
-            np.float32) * 0.1
-    return sd
+from torch_oracles import rand_alexnet_sd as _rand_alexnet_sd
 
 
 def _torch_alexnet_features(sd, x):

@@ -69,10 +69,18 @@ def test_allgather_metrics_two_processes(tmp_path):
         for pid in range(2)
     ]
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=300)
-        assert p.returncode == 0, err.decode()[-2000:]
-        outs.append(out.decode())
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            assert p.returncode == 0, err.decode()[-2000:]
+            outs.append(out.decode())
+    finally:
+        # never orphan a worker on timeout/assert — it would hold the
+        # coordinator port and hang the session
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
 
     for out in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("MERGED:")][0]

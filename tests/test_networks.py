@@ -120,10 +120,9 @@ def test_infer_sequence_chunking_consistent(rng):
     import jax
 
     cfg = FRNetConfig(nf=16, nb=2, scale=4, degradation="BD", remat=False)
-    params = jax.tree.map(
-        lambda x: x, __import__("tecogan_tpu.models.networks",
-                                fromlist=["init_frnet"]).init_frnet(
-            jax.random.PRNGKey(0), cfg))
+    from tecogan_tpu.models.networks import init_frnet
+
+    params = init_frnet(jax.random.PRNGKey(0), cfg)
     lr = rng.random((7, 16, 16, 3)).astype(np.float32)
     a = np.asarray(infer_sequence(params, jnp.asarray(lr), cfg, chunk=3))
     b = np.asarray(infer_sequence(params, jnp.asarray(lr), cfg, chunk=7))
@@ -197,9 +196,9 @@ def test_infer_sequence_odd_sizes(rng, scale):
     import jax
 
     cfg = FRNetConfig(nf=8, nb=1, scale=scale, degradation="BD", remat=False)
-    params = __import__("tecogan_tpu.models.networks",
-                        fromlist=["init_frnet"]).init_frnet(
-        jax.random.PRNGKey(0), cfg)
+    from tecogan_tpu.models.networks import init_frnet
+
+    params = init_frnet(jax.random.PRNGKey(0), cfg)
     lr = rng.random((5, 14, 22, 3)).astype(np.float32)
     out = np.asarray(infer_sequence(params, jnp.asarray(lr), cfg, chunk=3))
     assert out.shape == (5, scale * 14, scale * 22, 3)

@@ -5,9 +5,6 @@ import os.path as osp
 
 import cv2
 import numpy as np
-import torch
-import torch.nn.functional as F
-
 from tecogan_tpu.official_metrics.metrics import (
     crop_32,
     evaluate_folders,

@@ -83,25 +83,9 @@ def test_bilinear_upsample_matches_torch(rng, scale, hw):
 
 # --------------------------------------------------------------------------
 # TecoGAN bicubic upsampler vs the reference's separable conv formulation
+# (single oracle shared with the network-parity tests)
 # --------------------------------------------------------------------------
-def _torch_tecogan_bicubic(x_nchw: torch.Tensor, f: int, a: float = -0.75):
-    """Oracle: the same 4-tap separable cubic expansion, via torch convs."""
-    cubic = torch.tensor(
-        [[0, a, -2 * a, a],
-         [1, 0, -(a + 3), a + 2],
-         [0, -a, 2 * a + 3, -(a + 2)],
-         [0, 0, a, -a]], dtype=torch.float32)
-    kernels = torch.stack(
-        [cubic @ torch.tensor([1.0, s, s ** 2, s ** 3])
-         for s in [d / f for d in range(f)]])
-    n, c, h, w = x_nchw.shape
-    t = x_nchw.reshape(n * c, 1, h, w)
-    t = F.pad(t, (1, 2, 1, 2), mode="replicate")
-    out = F.conv2d(t, kernels.view(f, 1, 4, 1))
-    out = out.permute(0, 2, 1, 3).reshape(n * c, 1, f * h, w + 3)
-    out = F.conv2d(out, kernels.view(f, 1, 1, 4))
-    out = out.permute(0, 2, 3, 1).reshape(n * c, 1, f * h, f * w)
-    return out.reshape(n, c, f * h, f * w)
+from torch_oracles import torch_bicubic_up as _torch_tecogan_bicubic  # noqa: E402,E501
 
 
 @pytest.mark.parametrize("scale", [2, 4])

@@ -3,7 +3,6 @@
 
 import numpy as np
 import torch
-import torch.nn.functional as F
 
 import jax.numpy as jnp
 
@@ -13,37 +12,10 @@ from tecogan_tpu.models.networks.discriminators import (
     build_stnet_input,
 )
 
-from torch_oracles import torch_warp
-
-
-def _torch_assembly(data, bi, hr_flow, crop_ratio, use_pp):
-    """Reference semantics (`tecogan_nets.py:384-463`) in torch, NCHW."""
-    n, t_all, c, hh, ww = data.shape
-    t = t_all // 3 * 3
-    n_clip = n * (t // 3)
-    s_size = hh
-    c_size = int(s_size * crop_ratio)
-    n_pad = (s_size - c_size) // 2
-
-    flow_bw = hr_flow[:, 0:t:3]
-    flow_idle = torch.zeros_like(flow_bw)
-    assert use_pp
-    flow_fw = hr_flow.flip(1)[:, 1:t:3]
-    merge = torch.stack([flow_bw, flow_idle, flow_fw], dim=2)
-    merge = merge.reshape(n_clip * 3, 2, hh, ww)
-
-    def pack(x):
-        x = x[:, :t].reshape(n_clip, 3, c, hh, ww)
-        return x.permute(0, 2, 1, 3, 4).reshape(n_clip, c * 3, hh, ww)
-
-    cond = pack(bi)
-    orig = pack(data)
-    warped = torch_warp(data[:, :t].reshape(n * t, c, hh, ww), merge)
-    warped = pack(warped.view(n, t, c, hh, ww))
-    warped = F.pad(
-        warped[..., n_pad:n_pad + c_size, n_pad:n_pad + c_size],
-        (n_pad,) * 4, mode="constant")
-    return torch.cat([orig, warped, cond], dim=1), merge
+# the trickiest oracle (flow merge, rrrgggbbb packing, border crop) lives
+# ONCE in torch_oracles so this test and the full GAN-step parity tests
+# can never drift apart
+from torch_oracles import torch_stnet_assembly as _torch_assembly  # noqa: E402,E501
 
 
 def test_stnet_input_assembly_matches_torch(rng):

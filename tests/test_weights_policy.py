@@ -32,17 +32,11 @@ def test_vgg_random_weights_escape_hatch(tmp_path):
     assert isinstance(params, dict) and len(params) > 0
 
 
+from torch_oracles import rand_alexnet_sd
+
+
 def _rand_alexnet_sd(rng):
-    specs = [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3),
-             (256, 256, 3)]
-    idxs = [0, 3, 6, 8, 10]
-    sd = {}
-    for (co, ci, k), i in zip(specs, idxs):
-        sd[f"features.{i}.weight"] = torch.from_numpy(
-            rng.standard_normal((co, ci, k, k)).astype(np.float32) * 0.05)
-        sd[f"features.{i}.bias"] = torch.from_numpy(
-            rng.standard_normal(co).astype(np.float32) * 0.1)
-    return sd
+    return {k: torch.from_numpy(v) for k, v in rand_alexnet_sd(rng).items()}
 
 
 @pytest.mark.skipif(not osp.exists(_REF_LIN),

@@ -205,3 +205,20 @@ class TorchDTrunk(nn.Module):
             h = blk(h)
             feats.append(h)
         return self.dense(h.flatten(1)), feats
+
+
+def rand_alexnet_sd(rng):
+    """Random weights in the torchvision AlexNet state_dict layout (numpy);
+    the single source for the conv specs/feature indices used by the LPIPS
+    converter tests."""
+    import numpy as np
+    specs = [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3),
+             (256, 256, 3)]
+    idxs = [0, 3, 6, 8, 10]
+    sd = {}
+    for (co, ci, k), i in zip(specs, idxs):
+        sd[f"features.{i}.weight"] = (
+            rng.standard_normal((co, ci, k, k)).astype(np.float32) * 0.05)
+        sd[f"features.{i}.bias"] = rng.standard_normal(co).astype(
+            np.float32) * 0.1
+    return sd
