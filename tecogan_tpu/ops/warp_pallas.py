@@ -39,7 +39,10 @@ __all__ = ["backward_warp_pallas"]
 
 # output tile: 32 rows amortises the per-tile coordinate setup and loop
 # management (measured 1.18 -> 0.90 ms on a 536x1280x3 warp vs 8 rows;
-# 40+ rows regress — the displacement range over a taller tile widens)
+# 40+ rows regress — the displacement range over a taller tile widens).
+# Widening the tile loses too (tw 256/384/512 -> 0.94/1.02/1.09 ms vs
+# 0.88 at 128): the wider x-extent inflates the lane-block enumeration
+# and each block pass scans mostly-zero masks.
 _TH, _TW = 32, 128
 
 
