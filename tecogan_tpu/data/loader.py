@@ -83,10 +83,12 @@ class TrainLoader:
             except Exception as e:  # surface worker errors to the consumer
                 put_or_stop(e)
             finally:
-                try:
-                    out_q.put_nowait(None)
-                except queue.Full:
-                    pass  # consumer already gone
+                # The sentinel MUST be delivered: a full queue here just
+                # means the consumer hasn't drained the prefetched batches
+                # yet (the common case when the device step is slower than
+                # host assembly). put_or_stop waits for space and bails out
+                # only if the consumer has already set `stop`.
+                put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

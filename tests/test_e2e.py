@@ -223,6 +223,41 @@ def test_train_loader_early_exit_stops_producer(records_dir):
     assert not extra, f"leaked threads: {extra}"
 
 
+def test_train_loader_slow_consumer_epoch_boundary(records_dir):
+    """Regression (round-2 verdict #1): when the consumer is slower than
+    host batch assembly the prefetch queue is full at producer exit; the
+    end-of-epoch sentinel must still be delivered (a dropped sentinel left
+    the consumer blocked forever in out_q.get()). Drives two full epochs
+    with a consumer slower than the producer — the exact shape of
+    main.train's multi-epoch loop — under a watchdog."""
+    import threading
+    import time
+
+    ds = UnpairedClipDataset(records_dir, crop_size=32, tempo_extent=3)
+    # prefetch(2) < n_batches(10): the queue is guaranteed full when the
+    # producer finishes, since the consumer sleeps 50 ms per batch.
+    loader = TrainLoader(ds, batch_size=1, seed=7, num_workers=2,
+                         prefetch=2)
+    assert len(loader) == 10
+
+    counts = []
+
+    def consume_two_epochs():
+        for epoch in range(2):
+            n = 0
+            for _ in loader.epoch(epoch):
+                time.sleep(0.05)  # TPU step slower than host assembly
+                n += 1
+            counts.append(n)
+
+    t = threading.Thread(target=consume_two_epochs, daemon=True)
+    t.start()
+    t.join(timeout=30.0)
+    assert not t.is_alive(), (
+        "training loop hung at an epoch boundary (lost None sentinel)")
+    assert counts == [10, 10]
+
+
 def test_clip_keys_short_sequence_reflection():
     """Sequences shorter than tempo_extent reflect repeatedly instead of
     producing negative frame indices (which the mmap store would turn into
