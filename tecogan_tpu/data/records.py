@@ -174,6 +174,18 @@ class LMDBStore(_StoreBase):
         _, (tot, h, w), _ = parse_key(key)
         with self._env_handle().begin(write=False) as txn:
             buf = txn.get(key.encode("ascii"))
+        if buf is None:
+            raise KeyError(f"key {key!r} not found in LMDB {self.dir}")
+        # The reference format stores RGB uint8 (`base_dataset.py:61-66`,
+        # writer `create_lmdb.py:43-66`) and the key carries no channel
+        # count — validate the payload instead of silently reshaping a
+        # non-RGB buffer into garbage pixels.
+        if len(buf) != h * w * 3:
+            c = len(buf) / (h * w) if h * w else float("nan")
+            raise ValueError(
+                f"LMDB value for {key!r} has {len(buf)} bytes, expected "
+                f"{h * w * 3} (h={h}, w={w}, 3 channels); inferred "
+                f"channels={c:g}. Only RGB uint8 LMDBs are supported.")
         return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os.path as osp
+import re
 
 import cv2
 import numpy as np
@@ -173,11 +174,12 @@ class MetricCalculator:
             if m in entry and not override:
                 continue
             entry[m] = f"{v:.6f}"
-        # numeric sort for G_iter<N> keys; arbitrary checkpoint names
-        # (e.g. 'G', 'TecoGAN_BD') sort lexically after them
+        # numeric sort for *_iter<N> keys; arbitrary checkpoint names
+        # (e.g. 'G', 'TecoGAN_4x', 'v2_best') sort lexically after them —
+        # concatenating ALL digits would order 'v2_G_iter100' as 2100
         def sort_key(kv):
-            digits = "".join(filter(str.isdigit, kv[0]))
-            return (0, int(digits), kv[0]) if digits else (1, 0, kv[0])
+            m = re.search(r"iter(\d+)", kv[0])
+            return (0, int(m.group(1)), kv[0]) if m else (1, 0, kv[0])
 
         json_dict = dict(sorted(json_dict.items(), key=sort_key))
         with open(save_path, "w") as f:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ... import nn
 
@@ -22,8 +23,11 @@ from ... import nn
 _CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
         512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
 
-_IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-_IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+# plain numpy on purpose: a module-level jnp.array would initialise the
+# XLA backend at import time, which breaks jax.distributed.initialize()
+# in multi-host launches (main.py imports models before it can run)
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def feature_index_map():

@@ -8,12 +8,24 @@ The reference steps its schedulers once per iteration, so "epoch" == step.
 
 from __future__ import annotations
 
+from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
 import optax
 
 __all__ = ["define_lr_schedule", "make_adam"]
+
+
+class ExternalLRTransform(NamedTuple):
+    """A GradientTransformation whose updates are UNSCALED (sign-only
+    descent direction): the caller must multiply by schedule(global_step).
+    The marker lets consumers (tecogan_train_step) verify the pairing —
+    applying these updates without the external scale would be effective
+    learning rate 1.0 Adam sign-steps."""
+    init: Callable
+    update: Callable
+    external_lr: bool = True
 
 
 def multistep_lr(base_lr: float, milestones, gamma: float):
@@ -95,6 +107,7 @@ def make_adam(train_opt: dict, external_lr: bool = False):
     parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=1e-8))
     if external_lr:
         parts.append(optax.scale(-1.0))
-    else:
-        parts.append(optax.scale_by_learning_rate(schedule))
+        tx = optax.chain(*parts)
+        return ExternalLRTransform(tx.init, tx.update), schedule
+    parts.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*parts), schedule

@@ -55,8 +55,13 @@ class TrainConfig(NamedTuple):
     update_policy: str = "adaptive"
     update_threshold: float = 0.4
     crop_border_ratio: float = 0.75
-    # opt-in bf16 compute for the forward/backward passes (params, optimizer
-    # and all loss/BN-statistic accumulation stay fp32)
+    # bf16 compute for the forward/backward passes (params, optimizer and
+    # all loss/BN-statistic accumulation stay fp32). Default ON since the
+    # 500-iter soak verified stability + fp32 BN stats (PARITY.md); set
+    # `train.mixed_precision: false` in the YAML for the fp32 escape hatch.
+    # The NamedTuple default stays False so directly-constructed configs
+    # (parity tests vs fp32 torch oracles) are unchanged; the YAML path
+    # (make_train_config) defaults to True.
     mixed_precision: bool = False
 
 
@@ -82,7 +87,7 @@ def make_train_config(opt) -> TrainConfig:
         update_policy=d_opt.get("update_policy", "adaptive"),
         update_threshold=d_opt.get("update_threshold", 0.4),
         crop_border_ratio=d_opt.get("crop_border_ratio", 1.0),
-        mixed_precision=t.get("mixed_precision", False),
+        mixed_precision=t.get("mixed_precision", True),
     )
 
 
@@ -214,6 +219,12 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
     ``sched_d(global_step)`` so the D learning rate tracks the training
     ITERATION, not the (adaptive-policy-dependent) count of applied
     updates."""
+    if getattr(tx_d, "external_lr", False) and sched_d is None:
+        raise ValueError(
+            "tx_d was built with make_adam(external_lr=True) (unscaled "
+            "sign-step updates) but no sched_d was passed — updates would "
+            "be applied at effective learning rate 1.0. Pass the schedule "
+            "returned alongside the transform.")
     dt = _compute_dtype(tcfg)
     batch = normalize_batch(batch, dt)
     if tcfg.degradation == "BD" and "lr" not in batch:
@@ -297,11 +308,13 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
     x_real = jax.lax.stop_gradient(build_d_input(gt, ctx, cfg_d))
     x_fake = jax.lax.stop_gradient(build_d_input(hr_sg, ctx, cfg_d))
 
-    # One value_and_grad produces the vote logits, the fm-loss real
-    # features, the BN stats AND the (conditionally applied) gradients —
-    # the reference reuses its real/fake forwards for the backward the
-    # same way (`vsrgan_model.py:147-188`); value parity is unaffected
-    # because train-mode BN output does not read the running stats.
+    # One vjp-traced forward produces the vote logits, the fm-loss real
+    # features and the BN stats; the reference reuses its real/fake
+    # forwards for the backward the same way (`vsrgan_model.py:147-188`);
+    # value parity is unaffected because train-mode BN output does not
+    # read the running stats. The PULLBACK is invoked only inside the
+    # lax.cond's do_update branch, so iterations whose adaptive vote
+    # skips the D update do not pay the D backward pass.
     def d_loss_fn(pd):
         if tcfg.mixed_precision:
             pd = _cast_d(pd)
@@ -310,8 +323,8 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
         loss = gan_crit(rl, True) + gan_crit(fl, False)
         return loss, (rl, rfeats, fl, pd2)
 
-    (loss_d_val, (real_logits, real_feats, fake_logits, pd2)), grads_d = (
-        jax.value_and_grad(d_loss_fn, has_aux=True)(state["d"]))
+    loss_d_val, d_bwd, (real_logits, real_feats, fake_logits, pd2) = (
+        jax.vjp(d_loss_fn, state["d"], has_aux=True))
 
     # adaptive update vote: global means -> identical verdict on every
     # replica (fp32 regardless of compute dtype)
@@ -327,6 +340,7 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
 
     def do_update(operand):
         pd, opt_d = operand
+        grads_d = d_bwd(jnp.ones((), loss_d_val.dtype))[0]
         updates, new_opt_d = tx_d.update(grads_d, opt_d, pd)
         if sched_d is not None:
             lr_now = sched_d(state["step"])

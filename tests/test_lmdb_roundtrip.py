@@ -103,6 +103,30 @@ def test_lmdb_write_read_roundtrip(tmp_path, rng, lmdb_shim, monkeypatch):
         clip, np.stack([originals["clipA"][i][2:18, 4:20] for i in range(3)]))
 
 
+def test_lmdb_store_rejects_non_rgb_and_missing_keys(tmp_path, lmdb_shim):
+    """A non-RGB (or truncated) LMDB value must fail loudly instead of
+    being reshaped into garbage; a missing key must raise KeyError, not
+    crash on a None buffer."""
+    out = tmp_path / "bad.lmdb"
+    out.mkdir()
+    env = lmdb_shim.open(str(out))
+    with env.begin(write=True) as txn:
+        txn.put(b"gray_2x8x8_0000", bytes(8 * 8 * 1))  # 1-channel payload
+        txn.put(b"gray_2x8x8_0001", bytes(8 * 8 * 3))  # valid RGB size
+    env.close()
+    with open(out / "meta_info.pkl", "wb") as f:
+        pickle.dump({"keys": ["gray_2x8x8_0000", "gray_2x8x8_0001"]}, f)
+
+    from tecogan_tpu.data.records import LMDBStore
+
+    store = LMDBStore(str(out))
+    with pytest.raises(ValueError, match="channels=1"):
+        store.get("gray_2x8x8_0000")
+    assert store.get("gray_2x8x8_0001").shape == (8, 8, 3)
+    with pytest.raises(KeyError):
+        store.get("gray_2x8x8_0099")
+
+
 def test_lmdb_dataset_end_to_end(tmp_path, rng, lmdb_shim, monkeypatch):
     """UnpairedClipDataset over an LMDBStore: the training data path the
     reference runs on LMDB (`base_dataset.py:48-66`)."""

