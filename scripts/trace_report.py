@@ -101,6 +101,27 @@ def infer_case():
     return run, (params, lr)
 
 
+def serve_case(n_streams: int = 4):
+    import jax
+    import jax.numpy as jnp
+
+    from tecogan_tpu.models.networks import (FRNetConfig,
+                                             infer_sequence_batch,
+                                             init_frnet)
+    cfg = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD",
+                      compute_dtype="bfloat16")
+    params = init_frnet(jax.random.PRNGKey(0), cfg)
+    lr = jax.random.uniform(jax.random.PRNGKey(1),
+                            (n_streams, 32, 134, 320, 3), jnp.float32)
+
+    @jax.jit
+    def run(p, x):
+        return jnp.sum(
+            infer_sequence_batch(p, x, cfg, chunk=16).astype(jnp.int32))
+
+    return run, (params, lr)
+
+
 def _train_case(model_name):
     """Same construction as scripts/bench_suite.py::_train_iter."""
     import functools
@@ -116,6 +137,8 @@ def _train_case(model_name):
         tecogan_init_state, tecogan_train_step)
     from tecogan_tpu.parallel import batch_sharding, get_mesh, replicated
 
+    mixed = model_name.endswith("_bf16")
+    model_name = model_name.removesuffix("_bf16")
     mesh = get_mesh()
     rng = np.random.default_rng(0)
     batch = {"gt": jax.device_put(
@@ -123,6 +146,7 @@ def _train_case(model_name):
         batch_sharding(mesh))}
     cfg_g = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD")
     base = dict(scale=4, degradation="BD", sigma=1.5, tempo_extent=10,
+                mixed_precision=mixed,
                 pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},
                 warping_crit={"type": "CB", "weight": 1, "reduction": "mean"})
     tx_g, _ = make_adam({"lr": 1e-4})
@@ -173,6 +197,8 @@ def main():
 
     if which == "infer":
         fn, args = infer_case()
+    elif which.startswith("serve"):
+        fn, args = serve_case(int(which.removeprefix("serve") or 4))
     else:
         fn, args = _train_case(which)
     trace_dir = _capture(fn, *args)

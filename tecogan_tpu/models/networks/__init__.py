@@ -42,6 +42,11 @@ def define_generator(opt):
         nb=g["nb"],
         scale=opt["scale"],
         degradation=opt["dataset"]["degradation"]["type"],
+        # BPTT rematerialisation: True bounds training memory at
+        # O(t * one-frame activations); False is ~1.5% faster at the
+        # reference geometry (measured, PARITY.md) but stores the whole
+        # unroll's activations — set `remat: false` for small crops
+        remat=g.get("remat", True),
     )
     return cfg, (lambda key: init_frnet(key, cfg))
 

@@ -153,11 +153,19 @@ def build_stnet_input(data, bi_data, flow_merge, crop_border_ratio: float,
     n_clip = n * (t // 3)
 
     cond = _pack_triplet(bi_data[:, :t].reshape(n_clip, 3, hh, ww, c))
-    orig = _pack_triplet(data[:, :t].reshape(n_clip, 3, hh, ww, c))
+    d3 = data[:, :t].reshape(n_clip, 3, hh, ww, c)
+    orig = _pack_triplet(d3)
 
-    warped = backward_warp_diff(
-        data[:, :t].reshape(n * t, hh, ww, c), flow_merge)
-    warped = _pack_triplet(warped.reshape(n_clip, 3, hh, ww, c))
+    # the idle (middle) slot's merged flow is identically zero
+    # (build_flow_merge), and warping with zero flow is the identity —
+    # warp only the bw/fw end slots (2/3 of the assembly's warp work);
+    # the middle frame passes through with the same (identity) gradient
+    fm3 = flow_merge.reshape(n_clip, 3, hh, ww, 2)
+    ends = d3[:, ::2].reshape(n_clip * 2, hh, ww, c)
+    f_ends = fm3[:, ::2].reshape(n_clip * 2, hh, ww, 2)
+    w_ends = backward_warp_diff(ends, f_ends).reshape(n_clip, 2, hh, ww, c)
+    warped = jnp.stack([w_ends[:, 0], d3[:, 1], w_ends[:, 1]], axis=1)
+    warped = _pack_triplet(warped)
 
     # crop the warped borders then zero-pad back (training-stability trick,
     # `tecogan_nets.py:457-460`)

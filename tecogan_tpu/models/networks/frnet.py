@@ -122,14 +122,32 @@ def _inference_warp(cfg: FRNetConfig):
 
 
 def _sr_step(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev, hr_flow,
-             warp_fn=backward_warp_diff):
+             warp_fn=backward_warp_diff, fold_s2d=None):
     """One recurrence step: warp previous HR, pack, reconstruct.
 
     The default warp is the differentiable Pallas custom-VJP path
     (gather-path fallback off-TPU): the training unroll BPTTs through this
     warp every frame, and the XLA gather/scatter adjoints dominated the
-    train step before it."""
+    train step before it.
+
+    On TPU (``fold_s2d``, default = backend check) the space_to_depth of
+    the warped frame is absorbed into conv_in via weight folding
+    (srnet_apply_hr): the s2d transpose and the small-channel-minor NHWC
+    layout copies it forces cost ~3 ms/step at the training geometry
+    (trace, PARITY.md round 3). Off-TPU keep the concat formulation —
+    XLA:CPU handles it fine. Both paths are numerically exact
+    re-expressions of the same convolution."""
     hr_warp = warp_fn(hr_prev, hr_flow)
+    if fold_s2d is None:
+        fold_s2d = jax.default_backend() == "tpu"
+    if fold_s2d:
+        from .srnet import srnet_apply_hr
+
+        n, sh, sw, c = hr_warp.shape
+        out = srnet_apply_hr(
+            srnet_params, lr_curr, hr_warp.reshape(n, sh, sw * c),
+            cfg.nb, cfg.scale, cfg.degradation)
+        return out.reshape(n, sh, sw, c)
     return srnet_apply(
         srnet_params, lr_curr, space_to_depth(hr_warp, cfg.scale),
         cfg.nb, cfg.scale, cfg.degradation)

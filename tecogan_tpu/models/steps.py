@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..ops import backward_warp_diff, bd_border_size, downsample_bd
 from .losses import define_criterion
-from .networks import forward_sequence, snet_apply, stnet_apply, vgg19_features
+from .networks import forward_sequence, vgg19_features
 from .networks.discriminators import STNetConfig, build_flow_merge
 
 
@@ -262,10 +262,7 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
 
     out, g_vjp = jax.vjp(g_fwd, state["g"])
     hr = out["hr_data"]
-    hr_sg = jax.lax.stop_gradient(hr)
-
     is_stnet = isinstance(cfg_d, STNetConfig)
-    d_apply = stnet_apply if is_stnet else snet_apply
     ctx = {
         "lr_data": lr,
         "bi_data": bi,
@@ -297,16 +294,24 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
         return {k: cast(k, v) for k, v in pd.items()}
 
     # === D phase ===
-    # The D inputs for the vote + D loss depend on (gt, hr_sg, flows) but
-    # NOT on D's parameters and carry no gradient, so they are assembled
-    # exactly once — the flow warp inside the STNet assembly dominates a D
-    # evaluation at this geometry, and the naive structure (assembly inside
-    # every d_apply) was measured to spend ~40% of the whole GAN step on
-    # repeated identical warps.
+    # The D inputs for the vote + D loss depend on (gt, hr, flows) but
+    # NOT on D's parameters, so they are assembled exactly once — the flow
+    # warp inside the STNet assembly dominates a D evaluation at this
+    # geometry, and the naive structure (assembly inside every D apply)
+    # was measured to spend ~40% of the whole GAN step on repeated
+    # identical warps.
     from .networks import build_d_input, trunk_apply
 
     x_real = jax.lax.stop_gradient(build_d_input(gt, ctx, cfg_d))
-    x_fake = jax.lax.stop_gradient(build_d_input(hr_sg, ctx, cfg_d))
+    # One differentiable assembly of the fake D input serves BOTH phases:
+    # its stop-gradient'd value is the D-phase x_fake, and the G phase
+    # pulls gradients back through `asm_vjp` instead of re-running the
+    # whole assembly (b72 HR warps + triplet concat) inside g_loss_fn —
+    # the assembly is parameter-independent, so unlike the trunk it does
+    # not see the D update and may be shared across phases.
+    x_fake_g, asm_vjp = jax.vjp(
+        lambda h: build_d_input(h, ctx, cfg_d), hr)
+    x_fake = jax.lax.stop_gradient(x_fake_g)
 
     # One vjp-traced forward produces the vote logits, the fm-loss real
     # features and the BN stats; the reference reuses its real/fake
@@ -362,7 +367,7 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
     new_d = _merge_bn_stats(new_d, pd2)
 
     # === G phase: losses against the UPDATED discriminator ===
-    def g_loss_fn(g_out, pd):
+    def g_loss_fn(g_out, x_asm, pd):
         hr_g = g_out["hr_data"]
         logs = {}
         loss = 0.0
@@ -380,9 +385,22 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
                 "feature_layers", [8, 17, 26, 35]))
             t_all = hr_g.shape[1]
             hr_m = hr_g.reshape(n * t_all, gh, gw, c)
-            gt_m = gt.reshape(n * t_all, gh, gw, c)
             hr_f = vgg19_features(vgg_params, hr_m, layers)
-            gt_f = vgg19_features(vgg_params, gt_m, layers)
+            if use_pp:
+                # the ping-pong-doubled gt repeats its first te frames
+                # mirrored; VGG is per-image, so compute features on the
+                # unique frames and double THEM — 36 of 76 gt VGG
+                # forwards disappear (hr frames are all distinct: the
+                # reversed half is generated under reversed recurrence)
+                te = tcfg.tempo_extent
+                gt_u = gt[:, :te].reshape(n * te, gh, gw, c)
+                gt_f = [
+                    dbl(f.reshape(n, te, *f.shape[1:])).reshape(
+                        n * t_all, *f.shape[1:])
+                    for f in vgg19_features(vgg_params, gt_u, layers)]
+            else:
+                gt_m = gt.reshape(n * t_all, gh, gw, c)
+                gt_f = vgg19_features(vgg_params, gt_m, layers)
             l_feat = sum(
                 feat_crit(hf, jax.lax.stop_gradient(gf))
                 for hf, gf in zip(hr_f, gt_f))
@@ -396,11 +414,12 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
             l_pp = tcfg.pingpong_crit.get("weight", 1) * pp_crit(hr_fw, hr_bw)
             loss += l_pp
             logs["l_pp_G"] = l_pp
-        # fresh D forward on non-detached hr (updates BN stats a 3rd time)
+        # fresh D forward on non-detached hr (updates BN stats a 3rd time);
+        # the input assembly is the shared x_asm — only the trunk reruns
         if tcfg.mixed_precision:
             pd = _cast_d(pd)
-        fake_g_logits, fake_g_feats, _, pd3 = d_apply(
-            pd, hr_g, ctx, cfg_d, train=True)
+        fake_g_logits, fake_g_feats, pd3 = trunk_apply(
+            pd, x_asm, train=True)
         if fm_crit is not None:
             layer_norm = tcfg.feature_matching_crit.get(
                 "layer_norm", [12.0, 14.0, 24.0, 100.0])
@@ -416,9 +435,13 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
         logs["p_fake_G"] = jnp.mean(fake_g_logits)
         return loss, (logs, pd3)
 
-    # grads wrt the generator OUTPUT pytree, pulled back through the vjp
-    (_, (g_logs, pd3)), out_grads = jax.value_and_grad(
-        g_loss_fn, has_aux=True)(out, new_d)
+    # grads wrt the generator OUTPUT pytree, pulled back through the vjp;
+    # the GAN/fm path's gradient arrives as a cotangent on the shared
+    # assembly and is pulled back through asm_vjp onto hr_data
+    (_, (g_logs, pd3)), (out_grads, asm_grads) = jax.value_and_grad(
+        g_loss_fn, argnums=(0, 1), has_aux=True)(out, x_fake_g, new_d)
+    out_grads = dict(out_grads)
+    out_grads["hr_data"] = out_grads["hr_data"] + asm_vjp(asm_grads)[0]
     grads_g = g_vjp(out_grads)[0]
     updates_g, new_opt_g = tx_g.update(grads_g, state["opt_g"], state["g"])
     new_g = jax.tree.map(lambda p, u: p + u, state["g"], updates_g)

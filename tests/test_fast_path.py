@@ -132,3 +132,45 @@ def test_sr_step_planes_matches_reference_step(rng, monkeypatch):
     planes = _p2_to_planes(hr_prev_p2, 3)
     np.testing.assert_array_equal(np.asarray(planes),
                                   np.asarray(jnp.moveaxis(hr_prev, -1, 1)))
+
+
+def test_forward_sequence_fold_s2d_matches_concat(rng):
+    """The TPU training unroll's folded-conv_in step (fold_s2d=True in
+    _sr_step) must match the concat+space_to_depth formulation in values
+    AND parameter gradients — the training step switches formulation by
+    backend, so coordinated drift would otherwise be invisible on CPU."""
+    import functools
+
+    from tecogan_tpu.models.networks import frnet as frnet_mod
+    from tecogan_tpu.models.networks.frnet import (
+        FRNetConfig, _sr_step, init_frnet)
+
+    cfg = FRNetConfig(nf=8, nb=2, scale=4, degradation="BD",
+                      pallas_warp=False, remat=False)
+    params = init_frnet(jax.random.PRNGKey(3), cfg)
+    lr = jnp.asarray(rng.random((2, 4, 12, 16, 3)), jnp.float32)
+
+    def run(fold):
+        step = functools.partial(_sr_step, fold_s2d=fold)
+        orig = frnet_mod._sr_step
+        frnet_mod._sr_step = step
+        try:
+            def loss(p):
+                out = frnet_mod.forward_sequence(p, lr, cfg)
+                return jnp.sum(out["hr_data"] ** 2), out["hr_data"]
+
+            (val, hr), grads = jax.value_and_grad(
+                loss, has_aux=True)(params)
+        finally:
+            frnet_mod._sr_step = orig
+        return val, hr, grads
+
+    v0, hr0, g0 = run(False)
+    v1, hr1, g1 = run(True)
+    np.testing.assert_allclose(np.asarray(hr1), np.asarray(hr0),
+                               rtol=1e-5, atol=1e-5)
+    def cmp(a, b):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+
+    jax.tree.map(cmp, g0, g1)
