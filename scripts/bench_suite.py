@@ -190,7 +190,8 @@ def main():
     fps_b4 = _fps_infer_batch(4)
     rows.append(("4x SR batched serving, 4 concurrent streams, bf16",
                  f"{fps_b4:.1f} frames/s aggregate",
-                 "independent streams fill the MXU"))
+                 "~1.2x over 1 stream: one stream already deploys the "
+                 "chip at this shape (PARITY.md round-3 serving analysis)"))
     t_fr = _train_iter("frvsr")
     rows.append(("FRVSR train step (batch 4 x 10 frames x 128^2 GT)",
                  f"{t_fr * 1000:.0f} ms/iter = {4 / t_fr:.1f} clips/s",

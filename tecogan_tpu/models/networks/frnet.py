@@ -309,6 +309,24 @@ def _sr_step_planes(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev_p2,
                               cfg.scale, cfg.degradation)
 
 
+def _sr_step_planes_paired(cfg: FRNetConfig, srnet_params, paired_params,
+                           lr_curr, hr_prev_p2, hr_flow,
+                           interpret: bool = False):
+    """Stream-paired streaming step (serving, n even): the warp stays
+    per-stream; consecutive stream pairs share one block-diagonal trunk
+    (srnet.pair_srnet_params) that fills the MXU lanes a single 64-channel
+    stream leaves idle."""
+    from ...ops.warp_pallas import _warp_planes
+    from .srnet import srnet_apply_planes_paired
+
+    planes = _p2_to_planes(hr_prev_p2, cfg.out_nc)
+    warped = _warp_planes(planes, hr_flow,
+                          interpret=interpret).astype(planes.dtype)
+    return srnet_apply_planes_paired(paired_params, srnet_params, lr_curr,
+                                     warped, cfg.nb, cfg.scale,
+                                     cfg.degradation)
+
+
 def _sr_step_p2(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev_p2,
                 hr_flow, use_pallas: bool):
     """Packed-carry recurrence step (streaming inference): the previous HR
@@ -329,6 +347,76 @@ def _sr_step_p2(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev_p2,
     return srnet_apply(
         srnet_params, lr_curr, packed_in, cfg.nb, cfg.scale,
         cfg.degradation, return_packed=True)
+
+
+# --------------------------------------------------------------------------
+# row-folded multi-stream serving
+# --------------------------------------------------------------------------
+
+def _fold_geometry(scale: int, h: int):
+    """Per-stream row pitch for the folded serving mode: ``g`` guard rows
+    (>= 2 so adjacent streams don't share a guard row under 3x3 convs and
+    the packed row pairing stays aligned) bumped until the HR band is
+    32-row aligned (the banded warp's block requirement)."""
+    g = 2
+    while (scale * (h + g)) % 32:
+        g += 1
+    ph = h + g
+    return g, ph, scale * ph
+
+
+def _fold_masks(scale: int, n: int, h: int, ph: int, band: int):
+    """0/1 guard-row masks for the folded stream layout (fp32; cast at
+    use). Keys: lr (LR rows), up (packed-2x rows), planes (HR rows)."""
+    def m(pitch, valid, shape):
+        r = jnp.arange(n * pitch)
+        return (jnp.mod(r, pitch) < valid).astype(jnp.float32).reshape(shape)
+
+    return {
+        "lr": m(ph, h, (1, n * ph, 1, 1)),
+        "up": m(band // 2, scale * h // 2, (1, n * band // 2, 1, 1)),
+        "planes": m(band, scale * h, (1, 1, n * band, 1)),
+    }
+
+
+def _fold_residual_mh(cfg: FRNetConfig, n: int, h: int, ph: int):
+    """Block-diagonal vertical residual operator for the folded layout:
+    each stream's (s*h, h) resize matrix sits on the diagonal, padded with
+    zero guard rows/columns so streams do not mix."""
+    import numpy as np
+
+    from ...ops.resize import resize_matrix
+
+    s = cfg.scale
+    mode = ("bilinear_half_pixel" if cfg.degradation == "BI"
+            else "tecogan_bicubic")
+    mh = np.asarray(resize_matrix(mode, h, scale=s), np.float32)
+    big = np.zeros((n * s * ph, n * ph), np.float32)
+    for b in range(n):
+        big[b * s * ph:b * s * ph + s * h, b * ph:b * ph + h] = mh
+    return big
+
+
+def _sr_step_planes_folded(cfg: FRNetConfig, srnet_params, lr_f, p2_f,
+                           flow_f, masks, mh_fold, band: int, valid: int,
+                           interpret: bool = False):
+    """One folded streaming step: all stream tensors are batch-1 with the
+    stream axis folded into rows (guard bands between streams), so XLA
+    never sees a batch dimension to relayout — the n>1 batch-in-the-middle
+    copies that ate the round-2 serving gain do not exist in this program.
+    Exactness: every conv's guard inputs are zero exactly where standalone
+    zero padding would be (masks after each conv), the warp clamps within
+    each stream's band, and the residual matrix is block-diagonal."""
+    from ...ops.warp_pallas import _warp_planes
+    from .srnet import srnet_apply_planes
+
+    planes = _p2_to_planes(p2_f, cfg.out_nc)
+    warped = _warp_planes(planes, flow_f, interpret=interpret, band=band,
+                          band_valid=valid).astype(planes.dtype)
+    warped = warped * masks["planes"].astype(warped.dtype)
+    return srnet_apply_planes(srnet_params, lr_f, warped, cfg.nb,
+                              cfg.scale, cfg.degradation, row_masks=masks,
+                              residual_mh=mh_fold)
 
 
 # --------------------------------------------------------------------------
@@ -409,7 +497,9 @@ def step(params, lr_curr, lr_prev, hr_prev, cfg: FRNetConfig):
 # --------------------------------------------------------------------------
 
 def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
-                         chunk: int = 16) -> jnp.ndarray:
+                         chunk: int = 16, fold_streams: bool | None = None,
+                         pair_streams: bool | None = None,
+                         _fold_interpret: bool = False) -> jnp.ndarray:
     """SR a BATCH of LR sequences: (n, t, h, w, c) -> uint8 (n, t, sh, sw, c).
 
     Chunked double-scan: FNet is batched over all sequences' chunk frame
@@ -418,9 +508,16 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
     (lr_prev, hr_prev) across chunks. Output frames are quantised to uint8
     on device; the caller does one D2H for everything.
 
-    Batching independent streams is the production serving mode: the
-    recurrence is inherently sequential per stream, so concurrent streams
-    are what fills the MXU.
+    Batching independent streams is the production serving mode; at the
+    reference serving shape (134x320 4x) a single stream already deploys
+    the chip's per-frame capability, so the honest aggregate gain is
+    ~1.2x at 4 streams (FNet amortisation + fixed scan overheads) — the
+    documented recipe is n <= 4 per chip at chunk ~16 (PARITY.md round-3
+    serving analysis). Two exact alternative layouts were built and
+    measured at or below this mode and are kept opt-in: ``fold_streams``
+    (streams stacked along rows with guard bands — batch-1 programs,
+    banded Pallas warp) and ``pair_streams`` (block-diagonal 2*nf trunk
+    over consecutive stream pairs).
     """
     n, t, h, w, c = lr_seqs.shape
     s = cfg.scale
@@ -456,6 +553,65 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
                lr_seqs.dtype.itemsize <= 13 * 2 ** 20)
     use_pallas = _pallas_ok(cfg, cfg.out_nc, s * h, s * w)
 
+    g_rows, ph, band = _fold_geometry(s, h)
+    if fold_streams is None:
+        # MEASURED SLOWER at the serving shape (238 vs 287 aggregate FPS,
+        # 4x134x320 bf16): the suspected n>1 relayouts turned out to be
+        # the packed tail's real per-stream work (it scales linearly with
+        # streams in BOTH layouts), and the folded mode's per-conv guard
+        # masks add ~1 ms/frame of elementwise+copy traffic. Kept opt-in
+        # as an exact, tested alternative layout (see PARITY.md round-3
+        # serving analysis).
+        fold_streams = False
+    if fold_streams and not (_fold_interpret
+                             or jax.default_backend() == "tpu"):
+        fold_streams = False  # banded warp needs the kernel (or interpret)
+    if fold_streams:
+        masks = _fold_masks(s, n, h, ph, band)
+        mh_fold = _fold_residual_mh(cfg, n, h, ph)
+        w2 = s * w // 2
+
+        def outer_fold(carry, lr_chunk):
+            lr_prev0, p2_prev_f = carry
+            prevs = jnp.concatenate([lr_prev0[None], lr_chunk[:-1]], axis=0)
+            flat = lambda x: x.reshape(chunk * n, h, w, c)
+            lr_flow = fnet_apply(params["fnet"], flat(lr_chunk), flat(prevs))
+            hr_flow = _hr_flow(cfg, lr_flow, h, w)
+            hr_flow = hr_flow.reshape(chunk, n, s * h, s * w, 2)
+            hr_flow = jnp.pad(
+                hr_flow, ((0, 0), (0, 0), (0, band - s * h), (0, 0), (0, 0))
+            ).reshape(chunk, 1, n * band, s * w, 2)
+            lr_f = jnp.pad(
+                lr_chunk, ((0, 0), (0, 0), (0, ph - h), (0, 0), (0, 0))
+            ).reshape(chunk, 1, n * ph, w, c)
+
+            def inner(p2_prev, inp):
+                lr_i, flow_i = inp
+                p2 = _sr_step_planes_folded(
+                    cfg, params["srnet"], lr_i, p2_prev, flow_i, masks,
+                    mh_fold, band, s * h, interpret=_fold_interpret)
+                return p2, p2
+
+            p2_last, p2_seq = jax.lax.scan(inner, p2_prev_f,
+                                           (lr_f, hr_flow))
+            out_p2 = jnp.clip(
+                jnp.round(p2_seq.astype(jnp.float32) * 255.0), 0, 255
+            ).astype(jnp.uint8)
+            out_p2 = out_p2.reshape(
+                chunk, n, band // 2, w2, 4 * cfg.out_nc)[:, :, :s * h // 2]
+            out = depth_to_space(out_p2, 2)  # (chunk, n, sh, sw, c)
+            return (lr_chunk[-1], p2_last), out
+
+        carry0 = (
+            jnp.zeros((n, h, w, c), lr_seqs.dtype),
+            jnp.zeros((1, n * band // 2, w2, 4 * cfg.out_nc),
+                      lr_seqs.dtype),
+        )
+        _, out = jax.lax.scan(outer_fold, carry0, lr_chunks)
+        out = jnp.moveaxis(
+            out.reshape(n_chunks * chunk, n, s * h, s * w, cfg.out_nc), 1, 0)
+        return out[:, :t]
+
     def outer_p16(carry, lr_chunk):
         lr_prev0, planes_prev0 = carry
         prevs = jnp.concatenate([lr_prev0[None], lr_chunk[:-1]], axis=0)
@@ -479,6 +635,22 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
         out = depth_to_space(out_p2, 2)
         return (lr_chunk[-1], planes_last), out
 
+    if pair_streams is None:
+        # MEASURED NEAR-NEUTRAL on v5e (n=4: 296 vs 288 aggregate FPS;
+        # n=2: 254 vs 264): the 64-channel trunk convs do not pay the
+        # naive half-idle-lane penalty the cost model predicts, so the
+        # block-diagonal pairing recoups almost nothing. Kept opt-in as
+        # an exact, tested layout experiment (PARITY.md round 3).
+        pair_streams = False
+    if pair_streams and n % 2:
+        pair_streams = False
+    paired_params = None
+    if pair_streams:
+        from .srnet import pair_srnet_params
+
+        paired_params = pair_srnet_params(params["srnet"], cfg.in_nc, s,
+                                          cfg.nb)
+
     def outer(carry, lr_chunk):
         lr_prev0, hr_prev0_p2 = carry
         prevs = jnp.concatenate([lr_prev0[None], lr_chunk[:-1]], axis=0)
@@ -489,7 +661,11 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
 
         def inner(hr_prev_p2, inp):
             lr_i, flow_i = inp
-            if use_pallas:
+            if pair_streams:
+                hr_i_p2 = _sr_step_planes_paired(
+                    cfg, params["srnet"], paired_params, lr_i, hr_prev_p2,
+                    flow_i, interpret=_fold_interpret)
+            elif use_pallas:
                 hr_i_p2 = _sr_step_planes(cfg, params["srnet"], lr_i,
                                           hr_prev_p2, flow_i)
             else:

@@ -48,17 +48,24 @@ def _upsample_mode(degradation: str) -> str:
     return "bilinear_half_pixel" if degradation == "BI" else "tecogan_bicubic"
 
 
-def _residual_packed(lr, scale: int, degradation: str):
+def _residual_packed(lr, scale: int, degradation: str, mh_override=None):
     """Global residual upsample emitted directly in the packed-2x layout.
 
     Returns (n, s*h/2, s*w/2, 4*c) with channel = (r*2+t)*c + ch, equal to
     space_to_depth(upsample(lr), 2). The vertical pass is one operator-
     matrix matmul; the horizontal pass is arranged with the OUTPUT width in
     the minor dimension (full lanes) and phases split by free reshapes.
+
+    ``mh_override`` replaces the vertical operator matrix (the row-folded
+    serving mode passes a per-stream block-diagonal matrix so streams do
+    not mix in the vertical pass).
     """
     n, h, w, c = lr.shape
     mode = _upsample_mode(degradation)
-    mh = jnp.asarray(resize_matrix(mode, h, scale=scale), lr.dtype)
+    if mh_override is not None:
+        mh = jnp.asarray(mh_override, lr.dtype)
+    else:
+        mh = jnp.asarray(resize_matrix(mode, h, scale=scale), lr.dtype)
     mw = jnp.asarray(resize_matrix(mode, w, scale=scale), lr.dtype)
     sh, sw = scale * h, scale * w
 
@@ -101,7 +108,7 @@ def fold_conv_in_weights(w_in: jnp.ndarray, in_nc: int, scale: int):
 
 
 def conv_out_residual_packed(params, outp, lr_curr, scale: int,
-                             degradation: str):
+                             degradation: str, residual_mh=None):
     """Packed-domain SR-tail finish: conv_out + bias + global residual,
     (n, sh/2, sw/2, 4*nf) -> packed2 (n, sh/2, sw/2, 4*out_nc).
 
@@ -120,8 +127,8 @@ def conv_out_residual_packed(params, outp, lr_curr, scale: int,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., :c_out]
     out = nn.packed2_phase_unshift(z, c_out // 4)
     out = out + jnp.tile(params["conv_out"]["b"], 4).astype(out.dtype)
-    return out + _residual_packed(lr_curr, scale, degradation).astype(
-        out.dtype)
+    return out + _residual_packed(lr_curr, scale, degradation,
+                                  mh_override=residual_mh).astype(out.dtype)
 
 
 def srnet_apply_hr(params, lr_curr: jnp.ndarray, hr_warp_flat: jnp.ndarray,
@@ -173,7 +180,8 @@ def srnet_apply_hr(params, lr_curr: jnp.ndarray, hr_warp_flat: jnp.ndarray,
 
 
 def srnet_apply_planes(params, lr_curr: jnp.ndarray, warped_planes,
-                       nb: int, scale: int, degradation: str) -> jnp.ndarray:
+                       nb: int, scale: int, degradation: str,
+                       row_masks=None, residual_mh=None) -> jnp.ndarray:
     """SRNet over channel-major warped HR planes (n, c, sh, sw) -> packed2.
 
     The streaming fast path: the Pallas warp emits planes, and conv_in+s2d
@@ -182,10 +190,21 @@ def srnet_apply_planes(params, lr_curr: jnp.ndarray, warped_planes,
     transpose that cost ~0.9 ms/frame never materialises. Output stays in
     the packed-2x layout (the conv_out's natural emission), which is both
     the recurrence carry and the quantisation input.
+
+    ``row_masks`` (serving row-folded mode): {'lr': (1, h, 1, 1),
+    'up': (1, 2h, 1, 1)} 0/1 masks zeroing the inter-stream guard rows
+    after every convolution — guard inputs are zero exactly where a
+    standalone stream's zero padding would be, keeping per-stream outputs
+    bit-identical to the unfolded path. ``residual_mh`` overrides the
+    vertical residual operator (a per-stream block-diagonal matrix in the
+    folded mode).
     """
     n, h, w, c = lr_curr.shape
     s = scale
     w_lr, w_hr = fold_conv_in_weights(params["conv_in"]["w"], c, s)
+    m_lr = row_masks.get("lr") if row_masks else None
+    m_up = row_masks.get("up") if row_masks else None
+    mask = lambda x, m: x if m is None else x * m.astype(x.dtype)
 
     out = jax.lax.conv_general_dilated(
         lr_curr, w_lr.astype(lr_curr.dtype), (1, 1), ((1, 1), (1, 1)),
@@ -195,19 +214,115 @@ def srnet_apply_planes(params, lr_curr: jnp.ndarray, warped_planes,
         out = out + jax.lax.conv_general_dilated(
             xf, w_hr[:, :, ch::c, :].astype(xf.dtype), (s, 1),
             ((s, s), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    out = nn.relu(out + params["conv_in"]["b"].astype(out.dtype))
+    out = mask(nn.relu(out + params["conv_in"]["b"].astype(out.dtype)), m_lr)
 
     for bi in range(nb):
-        res = nn.relu(nn.conv2d(params[f"res{bi}_0"], out, padding=1))
-        res = nn.conv2d(params[f"res{bi}_1"], res, padding=1)
+        res = mask(nn.relu(nn.conv2d(params[f"res{bi}_0"], out, padding=1)),
+                   m_lr)
+        res = mask(nn.conv2d(params[f"res{bi}_1"], res, padding=1), m_lr)
         out = out + res
     n_up = 2 if scale == 4 else 1
     for ui in range(n_up - 1):
-        out = nn.relu(nn.conv2d_transpose(params[f"up{ui}"], out))
+        out = mask(nn.relu(nn.conv2d_transpose(params[f"up{ui}"], out)),
+                   m_up)
 
+    outp = mask(
+        nn.relu(nn.conv2d_transpose_packed(params[f"up{n_up - 1}"], out)),
+        m_up if scale == 4 else m_lr)
+    return conv_out_residual_packed(params, outp, lr_curr, scale,
+                                    degradation, residual_mh=residual_mh)
+
+
+def _blockdiag2(w):
+    """(kh, kw, ci, co) conv kernel -> (kh, kw, 2ci, 2co) block-diagonal:
+    two independent streams run as ONE conv with doubled channels. On the
+    128-lane MXU a 64-channel conv costs the same as a 128-channel one
+    (K<=128 and N<=128 each bill a full pass), so pairing two streams
+    halves their trunk conv time with zero numerical change (the
+    off-diagonal zero blocks contribute exact zeros)."""
+    kh, kw, ci, co = w.shape
+    z = jnp.zeros((kh, kw, ci, co), w.dtype)
+    return jnp.concatenate([
+        jnp.concatenate([w, z], axis=3),
+        jnp.concatenate([z, w], axis=3)], axis=2)
+
+
+def pair_srnet_params(params, in_nc: int, scale: int, nb: int):
+    """Derived block-diagonal weights for the stream-paired serving trunk
+    (conv_in + residual blocks + the first upsample stage; the packed tail
+    is lane-neutral under pairing and runs per-stream)."""
+    s = scale
+    w_lr, w_hr = fold_conv_in_weights(params["conv_in"]["w"], in_nc, s)
+    pp = {
+        "w_lr2": _blockdiag2(w_lr),
+        "b_in2": jnp.concatenate([params["conv_in"]["b"]] * 2),
+    }
+    hrs = []
+    for q in range(2):
+        for ch in range(in_nc):
+            wk = w_hr[:, :, ch::in_nc, :]  # (3s, 3, s, nf)
+            zz = jnp.zeros_like(wk)
+            hrs.append(jnp.concatenate([wk, zz] if q == 0 else [zz, wk],
+                                       axis=3))
+    pp["w_hr2"] = hrs  # colour ch of stream q -> output block q
+    for bi in range(nb):
+        for half in (0, 1):
+            src = params[f"res{bi}_{half}"]
+            pp[f"res{bi}_{half}"] = {
+                "w": _blockdiag2(src["w"]),
+                "b": jnp.concatenate([src["b"]] * 2),
+            }
+    if scale == 4:
+        pp["up0"] = {"w": _blockdiag2(params["up0"]["w"]),
+                     "b": jnp.concatenate([params["up0"]["b"]] * 2)}
+    return pp
+
+
+def srnet_apply_planes_paired(pp, params, lr_curr, warped_planes, nb: int,
+                              scale: int, degradation: str) -> jnp.ndarray:
+    """Stream-paired variant of ``srnet_apply_planes``: consecutive stream
+    pairs share one 2*nf-channel trunk (block-diagonal weights fill the
+    MXU lanes a 64-channel conv leaves idle), then split back to
+    per-stream batch for the lane-neutral packed tail. Exact per-stream
+    numerics modulo fp accumulation over the zero blocks.
+
+    lr_curr (n, h, w, c), warped_planes (n, c, sh, sw); n must be even.
+    """
+    n, h, w, c = lr_curr.shape
+    assert n % 2 == 0, "stream pairing needs an even stream count"
+    m, s = n // 2, scale
+    nf = params["conv_in"]["w"].shape[-1]
+
+    lr_pair = lr_curr.reshape(m, 2, h, w, c).transpose(0, 2, 3, 1, 4)
+    lr_pair = lr_pair.reshape(m, h, w, 2 * c)
+    planes_pair = warped_planes.reshape(m, 2 * c, s * h, s * w)
+
+    out = jax.lax.conv_general_dilated(
+        lr_pair, pp["w_lr2"].astype(lr_pair.dtype), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    for ch2 in range(2 * c):
+        xf = planes_pair[:, ch2].reshape(m, s * h, w, s)
+        out = out + jax.lax.conv_general_dilated(
+            xf, pp["w_hr2"][ch2].astype(xf.dtype), (s, 1),
+            ((s, s), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = nn.relu(out + pp["b_in2"].astype(out.dtype))
+
+    for bi in range(nb):
+        res = nn.relu(nn.conv2d(pp[f"res{bi}_0"], out, padding=1))
+        res = nn.conv2d(pp[f"res{bi}_1"], res, padding=1)
+        out = out + res
+    if scale == 4:
+        out = nn.relu(nn.conv2d_transpose(pp["up0"], out))
+
+    # split the pair channels back to per-stream batch for the tail
+    hh, ww_ = out.shape[1], out.shape[2]
+    out = out.reshape(m, hh, ww_, 2, nf).transpose(0, 3, 1, 2, 4)
+    out = out.reshape(n, hh, ww_, nf)
+
+    n_up = 2 if scale == 4 else 1
     outp = nn.relu(nn.conv2d_transpose_packed(params[f"up{n_up - 1}"], out))
     return conv_out_residual_packed(params, outp, lr_curr, scale,
-                                    degradation)  # packed2 (n,sh/2,sw/2,4c)
+                                    degradation)
 
 
 def srnet_apply(params, lr_curr: jnp.ndarray, hr_prev_packed: jnp.ndarray,

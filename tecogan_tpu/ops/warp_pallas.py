@@ -47,7 +47,8 @@ _TH, _TW = 32, 128
 
 
 def _warp_kernel(fy_ref, fx_ref, img_ref, out_ref, *, c: int, th: int,
-                 tw: int, h: int, w: int, hp: int, wp: int):
+                 tw: int, h: int, w: int, hp: int, wp: int,
+                 tiles_per_band: int = 0):
     """Per output tile:
 
     - sample coordinates are built IN-KERNEL from the raw flow tile (iota +
@@ -61,8 +62,16 @@ def _warp_kernel(fy_ref, fx_ref, img_ref, out_ref, *, c: int, th: int,
     - the image is UNPADDED: slab starts are clamped into the buffer and a
       mod-roll realigns rows, so every read is in-bounds while the tap
       masks zero any wrapped row's contribution.
+
+    ``tiles_per_band`` > 0 is the row-folded multi-stream mode: the image
+    ref serves ONE stream's band (hp = band rows, h = its valid rows) and
+    the row coordinate is taken RELATIVE to the band, so samples clamp to
+    the tile's own stream instead of bleeding into its neighbours.
     """
-    i0 = pl.program_id(1) * th
+    if tiles_per_band:
+        i0 = (pl.program_id(1) % tiles_per_band) * th
+    else:
+        i0 = pl.program_id(1) * th
     j0 = pl.program_id(2) * tw
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(
@@ -133,12 +142,20 @@ def _warp_kernel(fy_ref, fx_ref, img_ref, out_ref, *, c: int, th: int,
 
 
 def _warp_planes(planes: jnp.ndarray, flow: jnp.ndarray,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False, band: int = 0,
+                 band_valid: int = 0) -> jnp.ndarray:
     """Core: channel-major planes (n, c, h, w) + flow (n, h, w, 2) ->
     warped fp32 planes (n, c, h, w).
 
     No HBM-side coordinate tensors and no halo padding: the only pads are
-    the (usually zero) alignments of h to 8 and w to 128."""
+    the (usually zero) alignments of h to 8 and w to 128.
+
+    ``band`` > 0 enables the row-folded multi-stream mode (serving): the
+    rows are ``h // band`` independent stream bands of ``band`` rows
+    (``band_valid`` of them valid); samples clamp within each band and
+    VMEM holds one band (not the whole folded image) at a time. Requires
+    band % 32 == 0 and h % band == 0.
+    """
     n, c, h, w = planes.shape
     ft = jnp.float32
 
@@ -149,23 +166,38 @@ def _warp_planes(planes: jnp.ndarray, flow: jnp.ndarray,
     # inside the valid box; their outputs are discarded)
     hp = -(-h // _TH) * _TH
     wp = -(-w // _TW) * _TW
+    if band:
+        assert band % _TH == 0 and h % band == 0 and hp == h, (
+            "folded mode needs 32-aligned bands and band-aligned height")
     if (hp, wp) != (h, w):
         fy = jnp.pad(fy, ((0, 0), (0, hp - h), (0, wp - w)))
         fx = jnp.pad(fx, ((0, 0), (0, hp - h), (0, wp - w)))
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
 
     grid = (n, hp // _TH, wp // _TW)
+    if band:
+        tiles_per_band = band // _TH
+        kern_h, kern_hp = band_valid, band
+        img_spec = pl.BlockSpec(
+            (1, c, band, wp),
+            lambda b, i, j: (b, 0, i // tiles_per_band, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        tiles_per_band = 0
+        kern_h, kern_hp = h, hp
+        img_spec = pl.BlockSpec((1, c, hp, wp), lambda b, i, j: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_warp_kernel, c=c, th=_TH, tw=_TW, h=h, w=w,
-                          hp=hp, wp=wp),
+        functools.partial(_warp_kernel, c=c, th=_TH, tw=_TW, h=kern_h,
+                          w=w, hp=kern_hp, wp=wp,
+                          tiles_per_band=tiles_per_band),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _TH, _TW), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TH, _TW), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, hp, wp), lambda b, i, j: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            img_spec,
         ],
         out_specs=pl.BlockSpec((1, c, _TH, _TW),
                                lambda b, i, j: (b, 0, i, j),

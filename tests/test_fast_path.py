@@ -174,3 +174,53 @@ def test_forward_sequence_fold_s2d_matches_concat(rng):
                                    rtol=2e-4, atol=2e-5)
 
     jax.tree.map(cmp, g0, g1)
+
+
+@pytest.mark.parametrize("scale", [4, 2])
+def test_infer_sequence_batch_folded_matches_unfolded(rng, scale):
+    """Row-folded multi-stream serving (streams stacked along rows with
+    guard bands, banded warp, per-conv guard masks, block-diagonal
+    residual) must reproduce the unfolded batched path per-stream. Runs
+    the banded Pallas warp in interpret mode on CPU."""
+    from tecogan_tpu.models.networks import (
+        FRNetConfig, infer_sequence_batch, init_frnet)
+
+    cfg = FRNetConfig(nf=8, nb=2, scale=scale, degradation="BD",
+                      compute_dtype="float32", pallas_warp=False)
+    params = init_frnet(jax.random.PRNGKey(5), cfg)
+    lr = jnp.asarray(rng.random((3, 5, 20, 24, 3)), jnp.float32)
+
+    ref = infer_sequence_batch(params, lr, cfg, chunk=3,
+                               fold_streams=False)
+    got = infer_sequence_batch(params, lr, cfg, chunk=3, fold_streams=True,
+                               _fold_interpret=True)
+    assert got.shape == ref.shape
+    diff = np.abs(np.asarray(got).astype(np.int32)
+                  - np.asarray(ref).astype(np.int32))
+    # uint8 outputs: identical up to borderline .5 roundings from the
+    # block-diagonal residual's different contraction length
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
+
+
+@pytest.mark.parametrize("scale", [4, 2])
+def test_infer_sequence_batch_paired_matches_unpaired(rng, scale):
+    """Stream-paired serving (block-diagonal 2*nf trunk over consecutive
+    stream pairs) must reproduce the per-stream path. Interpret-mode
+    Pallas warp on CPU."""
+    from tecogan_tpu.models.networks import (
+        FRNetConfig, infer_sequence_batch, init_frnet)
+
+    cfg = FRNetConfig(nf=8, nb=2, scale=scale, degradation="BD",
+                      compute_dtype="float32", pallas_warp=False)
+    params = init_frnet(jax.random.PRNGKey(6), cfg)
+    lr = jnp.asarray(rng.random((4, 5, 16, 24, 3)), jnp.float32)
+
+    ref = infer_sequence_batch(params, lr, cfg, chunk=3,
+                               fold_streams=False, pair_streams=False)
+    got = infer_sequence_batch(params, lr, cfg, chunk=3, fold_streams=False,
+                               pair_streams=True, _fold_interpret=True)
+    diff = np.abs(np.asarray(got).astype(np.int32)
+                  - np.asarray(ref).astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
