@@ -72,7 +72,8 @@ def _fps_infer_batch(n_streams: int):
     return n_streams * t / min(times)
 
 
-def _train_iter(model, mixed_precision=False, report_mfu=False):
+def _train_iter(model, mixed_precision=False, report_mfu=False,
+                train_unroll=None):
     import jax
 
     from tecogan_tpu.models.networks import (
@@ -88,7 +89,8 @@ def _train_iter(model, mixed_precision=False, report_mfu=False):
     batch = {"gt": jax.device_put(
         (rng.random((4, 10, 136, 136, 3)) * 255).astype(np.uint8),
         batch_sharding(mesh))}
-    cfg_g = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD")
+    cfg_g = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD",
+                        train_unroll=train_unroll)
     base = dict(scale=4, degradation="BD", sigma=1.5, tempo_extent=10,
                 mixed_precision=mixed_precision,
                 pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},

@@ -44,6 +44,15 @@ class FRNetConfig:
     # rematerialise the per-frame SRNet step during the training unroll to
     # keep BPTT memory O(t * activation-of-one-frame)
     remat: bool = True
+    # lax.scan unroll factor for the training recurrence (int, True = full
+    # unroll, None = auto: full on TPU, scan elsewhere). Unrolling lets XLA
+    # fuse the thousands of tiny per-frame weight-grad accumulations (the
+    # trace puts ~8 ms/step in sub-5us bias/kernel-grad ops) across frames:
+    # measured 69.2 -> 67.2 (unroll 4) -> 65.3 ms/iter (full) on the bf16
+    # GAN step at reference geometry, for a one-time ~10 min XLA compile
+    # (persistently cached). Off-TPU keeps the scan: CPU test suites
+    # recompile far more often than they train.
+    train_unroll: int | bool | None = None
     # compute dtype for inference ('float32' | 'bfloat16'). bf16 feeds the
     # MXU at full rate; flow-warp coordinate math stays fp32 regardless
     # (ops/warp.py) and output quantisation happens in fp32.
@@ -463,7 +472,10 @@ def forward_sequence(params, lr_data: jnp.ndarray, cfg: FRNetConfig):
     hr0 = jnp.zeros((n, s * h, s * w, cfg.out_nc), lr_data.dtype)
     # scan over time: (t, n, ...) leading axis
     xs = (jnp.moveaxis(lr_data, 1, 0), jnp.moveaxis(flows, 1, 0))
-    _, hr_seq = jax.lax.scan(body, hr0, xs)
+    unroll = cfg.train_unroll
+    if unroll is None:
+        unroll = True if jax.default_backend() == "tpu" else 1
+    _, hr_seq = jax.lax.scan(body, hr0, xs, unroll=unroll)
     hr_data = jnp.moveaxis(hr_seq, 0, 1)  # (n, t, H, W, c)
 
     return {

@@ -5,6 +5,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from tecogan_tpu import nn
@@ -91,6 +92,29 @@ def test_max_pool_matches_torch(rng, hw):
     got = np.asarray(nn.max_pool_2x2(jnp.asarray(x)))
     want = F.max_pool2d(torch.from_numpy(to_nchw(x)), 2, 2).numpy()
     np.testing.assert_allclose(got, to_nhwc(want), atol=0)
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (9, 7)])
+def test_max_pool_grad_matches_torch(rng, hw):
+    """The custom first-argmax backward must route gradients exactly as
+    torch's MaxPool2d — including at ties (first maximal element of the
+    window in row-major order), which quantised/duplicated activations do
+    hit in practice."""
+    x = rng.standard_normal((2, *hw, 3)).astype(np.float32)
+    # engineer exact ties: duplicate whole 2x2 windows and plant constant
+    # windows, so every tie-routing branch is exercised
+    x[0, 0:2, 0:2, :] = 0.7
+    x[1, 2:4, 2:4, 0] = x[1, 2, 2, 0]
+    x[0, 4:6, 0, 1] = x[0, 4, 1, 1] = -0.3
+
+    def loss_j(xj):
+        return jnp.sum(nn.max_pool_2x2(xj) ** 2)
+
+    got = np.asarray(jax.grad(loss_j)(jnp.asarray(x)))
+
+    xt = torch.from_numpy(to_nchw(x)).requires_grad_(True)
+    F.max_pool2d(xt, 2, 2).pow(2).sum().backward()
+    np.testing.assert_allclose(got, to_nhwc(xt.grad.numpy()), atol=1e-6)
 
 
 def test_leaky_relu_matches_torch(rng):
