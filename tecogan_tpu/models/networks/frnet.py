@@ -305,17 +305,52 @@ def _sr_step_flat(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev_p2,
                           cfg.degradation, return_packed=True)
 
 
-def _sr_step_planes(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev_p2,
-                    hr_flow):
-    """Streaming fast-path step: p2 carry -> planes -> Pallas warp ->
-    conv_in-on-planes -> p2. One XLA transpose per frame, nothing else."""
+def _p4_to_planes(hr_packed4, c: int):
+    """packed4 (n, h4, w4, 16c) -> channel-major HR planes
+    (n, c, 4h4, 4w4). Same MXU 0/1-selector route as ``_p2_to_planes``
+    (column phases unfold as free row-major reshapes; row phases
+    interleave in one full-lane step)."""
+    import numpy as np
+
+    n, h4, w4, _ = hr_packed4.shape
+    planes = []
+    for ch in range(c):
+        quarters = []
+        for r in range(4):
+            sel = np.zeros((16 * c, 4), np.float32)
+            for t_ in range(4):
+                sel[(r * 4 + t_) * c + ch, t_] = 1.0
+            q = jax.lax.dot_general(
+                hr_packed4, jnp.asarray(sel, hr_packed4.dtype),
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(hr_packed4.dtype)
+            quarters.append(q.reshape(n, h4, 4 * w4))  # free reshape
+        planes.append(jnp.stack(quarters, axis=2).reshape(n, 4 * h4,
+                                                          4 * w4))
+    return jnp.stack(planes, axis=1)
+
+
+def _sr_step_planes(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev_pk,
+                    hr_flow, packed4: bool = False,
+                    interpret: bool = False):
+    """Streaming fast-path step: packed carry -> planes -> Pallas warp ->
+    conv_in-on-planes -> packed. One XLA transpose per frame, nothing
+    else. ``packed4`` (scale 4): the carry is packed-4 and conv_out runs
+    in the p2->p4 formulation (1.8x less billed MXU work at 12 true
+    output channels — PARITY.md round 3)."""
     from ...ops.warp_pallas import _warp_planes
     from .srnet import srnet_apply_planes
 
-    planes = _p2_to_planes(hr_prev_p2, cfg.out_nc)
-    warped = _warp_planes(planes, hr_flow).astype(planes.dtype)
+    if packed4:
+        planes = _p4_to_planes(hr_prev_pk, cfg.out_nc)
+    else:
+        planes = _p2_to_planes(hr_prev_pk, cfg.out_nc)
+    # pass interpret only when set: tests monkeypatch _warp_planes with an
+    # interpret=True partial, which an explicit False would override
+    kw = {"interpret": True} if interpret else {}
+    warped = _warp_planes(planes, hr_flow, **kw).astype(planes.dtype)
     return srnet_apply_planes(srnet_params, lr_curr, warped, cfg.nb,
-                              cfg.scale, cfg.degradation)
+                              cfg.scale, cfg.degradation, packed4=packed4)
 
 
 def _sr_step_planes_paired(cfg: FRNetConfig, srnet_params, paired_params,
@@ -511,6 +546,7 @@ def step(params, lr_curr, lr_prev, hr_prev, cfg: FRNetConfig):
 def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
                          chunk: int = 16, fold_streams: bool | None = None,
                          pair_streams: bool | None = None,
+                         packed4: bool | None = None,
                          _fold_interpret: bool = False) -> jnp.ndarray:
     """SR a BATCH of LR sequences: (n, t, h, w, c) -> uint8 (n, t, sh, sw, c).
 
@@ -663,36 +699,50 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
         paired_params = pair_srnet_params(params["srnet"], cfg.in_nc, s,
                                           cfg.nb)
 
+    # packed-4 carry + p2->p4 conv_out: cuts the conv_out matmul's billed
+    # M*K 1.8x (the single largest op of the streaming trace), but
+    # MEASURED SLOWER end-to-end (273.6 vs 300.8 FPS, same process, 64fr
+    # 134x320 bf16): the 16-slice phase unshift, the 12-selector
+    # p4->planes assembly and the p4 residual relayout more bytes than
+    # the conv saves. Kept opt-in as an exact, tested formulation
+    # (PARITY.md round 3).
+    if packed4 is None:
+        packed4 = False
+    packed4 = (packed4 and s == 4 and not pair_streams and not fold_streams
+               and (use_pallas or _fold_interpret))
+
     def outer(carry, lr_chunk):
-        lr_prev0, hr_prev0_p2 = carry
+        lr_prev0, hr_prev0_pk = carry
         prevs = jnp.concatenate([lr_prev0[None], lr_chunk[:-1]], axis=0)
         flat = lambda x: x.reshape(chunk * n, h, w, c)
         lr_flow = fnet_apply(params["fnet"], flat(lr_chunk), flat(prevs))
         hr_flow = _hr_flow(cfg, lr_flow, h, w)
         hr_flow = hr_flow.reshape(chunk, n, s * h, s * w, 2)
 
-        def inner(hr_prev_p2, inp):
+        def inner(hr_prev_pk, inp):
             lr_i, flow_i = inp
             if pair_streams:
-                hr_i_p2 = _sr_step_planes_paired(
-                    cfg, params["srnet"], paired_params, lr_i, hr_prev_p2,
+                hr_i_pk = _sr_step_planes_paired(
+                    cfg, params["srnet"], paired_params, lr_i, hr_prev_pk,
                     flow_i, interpret=_fold_interpret)
-            elif use_pallas:
-                hr_i_p2 = _sr_step_planes(cfg, params["srnet"], lr_i,
-                                          hr_prev_p2, flow_i)
+            elif packed4 or use_pallas:
+                hr_i_pk = _sr_step_planes(cfg, params["srnet"], lr_i,
+                                          hr_prev_pk, flow_i,
+                                          packed4=packed4,
+                                          interpret=_fold_interpret)
             else:
-                hr_i_p2 = _sr_step_p2(cfg, params["srnet"], lr_i,
-                                      hr_prev_p2, flow_i, False)
-            return hr_i_p2, hr_i_p2
+                hr_i_pk = _sr_step_p2(cfg, params["srnet"], lr_i,
+                                      hr_prev_pk, flow_i, False)
+            return hr_i_pk, hr_i_pk
 
-        _, hr_chunk_p2 = jax.lax.scan(inner, hr_prev0_p2,
+        _, hr_chunk_pk = jax.lax.scan(inner, hr_prev0_pk,
                                       (lr_chunk, hr_flow))
-        # quantise in the (4x smaller) packed layout; interleave as uint8
-        out_p2 = jnp.clip(
-            jnp.round(hr_chunk_p2.astype(jnp.float32) * 255.0), 0, 255
+        # quantise in the packed layout; interleave as uint8
+        out_pk = jnp.clip(
+            jnp.round(hr_chunk_pk.astype(jnp.float32) * 255.0), 0, 255
         ).astype(jnp.uint8)
-        out = depth_to_space(out_p2, 2)
-        return (lr_chunk[-1], hr_chunk_p2[-1]), out
+        out = depth_to_space(out_pk, 4 if packed4 else 2)
+        return (lr_chunk[-1], hr_chunk_pk[-1]), out
 
     if use_p16:
         carry0 = (
@@ -701,10 +751,13 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
         )
         _, out = jax.lax.scan(outer_p16, carry0, lr_chunks)
     else:
+        if packed4:
+            carry_shape = (n, h, w, 16 * cfg.out_nc)
+        else:
+            carry_shape = (n, s * h // 2, s * w // 2, 4 * cfg.out_nc)
         carry0 = (
             jnp.zeros((n, h, w, c), lr_seqs.dtype),
-            jnp.zeros((n, s * h // 2, s * w // 2, 4 * cfg.out_nc),
-                      lr_seqs.dtype),
+            jnp.zeros(carry_shape, lr_seqs.dtype),
         )
         _, out = jax.lax.scan(outer, carry0, lr_chunks)
     # (n_chunks, chunk, n, H, W, c) -> (n, t, H, W, c)

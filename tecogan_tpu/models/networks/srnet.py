@@ -78,6 +78,25 @@ def _residual_packed(lr, scale: int, degradation: str, mh_override=None):
     return out.reshape(n, sh // 2, sw // 2, 4 * c)
 
 
+def _residual_packed4(lr, degradation: str):
+    """Global residual upsample emitted directly in the packed-4x layout
+    (scale 4 only): (n, h, w, c) -> (n, h, w, 16*c) with channel
+    = (r*4+t)*c + ch, equal to space_to_depth(upsample(lr), 4). Same
+    operator-matrix structure as ``_residual_packed``; the phase splits
+    are free row-major reshapes."""
+    n, h, w, c = lr.shape
+    mode = _upsample_mode(degradation)
+    mh = jnp.asarray(resize_matrix(mode, h, scale=4), lr.dtype)
+    mw = jnp.asarray(resize_matrix(mode, w, scale=4), lr.dtype)
+
+    v = jnp.einsum("Oh,nhwc->nOwc", mh, lr)          # (n, 4h, w, c)
+    v = v.reshape(n, h, 4, w, c)                     # rows -> (cell, phase)
+    hz = jnp.einsum("Pw,nUrwc->nUrcP", mw, v)        # (n, h, 4, c, 4w)
+    hz = hz.reshape(n, h, 4, c, w, 4)
+    out = hz.transpose(0, 1, 4, 2, 5, 3)             # (n, h, w, r, t, c)
+    return out.reshape(n, h, w, 16 * c)
+
+
 def upsample_residual(lr, scale: int, degradation: str):
     """Reference-layout (HR NHWC) global residual, for the non-packed path."""
     mode = _upsample_mode(degradation)
@@ -131,6 +150,30 @@ def conv_out_residual_packed(params, outp, lr_curr, scale: int,
                                   mh_override=residual_mh).astype(out.dtype)
 
 
+def conv_out_residual_packed4(params, outp, lr_curr, degradation: str):
+    """Packed-4 SR-tail finish (scale 4): conv_out + bias + global
+    residual, (n, sh/2, sw/2, 4*nf) -> packed4 (n, h, w, 16*out_nc).
+
+    conv_out runs as a stride-2 3x3-tap conv over the packed-2 up1
+    emission (``nn.pack_conv3x3_p2p4_kernel``): each output position
+    carries 16 phases (48 channels) toward the MXU's 128-lane output
+    floor instead of packed-2's 4 (12), cutting the billed M*K by 1.8x —
+    the conv_out matmul was the single largest op of the streaming-
+    inference trace (0.24 ms/frame at 134x320, PARITY.md round 3).
+    Output channels padded to 128 for the full-lane conv fast path.
+    """
+    w4 = nn.pack_conv3x3_p2p4_kernel(params["conv_out"]["w"])
+    c_out = w4.shape[-1]  # 16 * out_nc
+    pad_c = max(0, 128 - c_out)
+    w4p = jnp.pad(w4, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+    z = jax.lax.conv_general_dilated(
+        outp, w4p.astype(outp.dtype), (2, 2), ((1, 2), (1, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., :c_out]
+    out = nn.packed4_phase_unshift(z, c_out // 16)
+    out = out + jnp.tile(params["conv_out"]["b"], 16).astype(out.dtype)
+    return out + _residual_packed4(lr_curr, degradation).astype(out.dtype)
+
+
 def srnet_apply_hr(params, lr_curr: jnp.ndarray, hr_warp_flat: jnp.ndarray,
                    nb: int, scale: int, degradation: str,
                    return_packed: bool = False) -> jnp.ndarray:
@@ -181,7 +224,8 @@ def srnet_apply_hr(params, lr_curr: jnp.ndarray, hr_warp_flat: jnp.ndarray,
 
 def srnet_apply_planes(params, lr_curr: jnp.ndarray, warped_planes,
                        nb: int, scale: int, degradation: str,
-                       row_masks=None, residual_mh=None) -> jnp.ndarray:
+                       row_masks=None, residual_mh=None,
+                       packed4: bool = False) -> jnp.ndarray:
     """SRNet over channel-major warped HR planes (n, c, sh, sw) -> packed2.
 
     The streaming fast path: the Pallas warp emits planes, and conv_in+s2d
@@ -229,6 +273,9 @@ def srnet_apply_planes(params, lr_curr: jnp.ndarray, warped_planes,
     outp = mask(
         nn.relu(nn.conv2d_transpose_packed(params[f"up{n_up - 1}"], out)),
         m_up if scale == 4 else m_lr)
+    if packed4:
+        assert scale == 4 and row_masks is None and residual_mh is None
+        return conv_out_residual_packed4(params, outp, lr_curr, degradation)
     return conv_out_residual_packed(params, outp, lr_curr, scale,
                                     degradation, residual_mh=residual_mh)
 

@@ -40,6 +40,8 @@ __all__ = [
     "cast_params",
     "pack_conv3x3_kernel",
     "pack_conv3x3_as2x2_kernel",
+    "pack_conv3x3_p2p4_kernel",
+    "packed4_phase_unshift",
     "packed2_phase_unshift",
     "conv2d_transpose_packed",
 ]
@@ -280,6 +282,71 @@ def packed2_phase_unshift(z: jnp.ndarray, cout: int) -> jnp.ndarray:
             g = (py * 2 + px) * cout
             parts.append(z[..., py:py + h2, px:px + w2, g:g + cout])
     return jnp.concatenate(parts, axis=-1)
+
+
+def packed4_phase_unshift(z: jnp.ndarray, cout: int) -> jnp.ndarray:
+    """Reassemble ``pack_conv3x3_p2p4_kernel`` conv output: phase (py, px)
+    of true packed-4 cell (i, j) was emitted at position
+    (i + (py == 3), j + (px == 3)) in group ((py+1)%4, (px+1)%4).
+    (…, h4+1, w4+1, 16*cout) -> (…, h4, w4, 16*cout)."""
+    h4, w4 = z.shape[-3] - 1, z.shape[-2] - 1
+    parts = []
+    for py in range(4):
+        oy = 1 if py == 3 else 0
+        gy = (py + 1) % 4
+        for px in range(4):
+            ox = 1 if px == 3 else 0
+            gx = (px + 1) % 4
+            g = (gy * 4 + gx) * cout
+            parts.append(z[..., oy:oy + h4, ox:ox + w4, g:g + cout])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def pack_conv3x3_p2p4_kernel(w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """3x3 conv over a 2x grid, consumed PACKED-2 and emitted PACKED-4:
+    a stride-2 3x3-tap conv over the packed-2 layout, returning
+    (3, 3, 4*cin, 16*cout).
+
+    Rationale (SR-tail conv_out, 64 -> 3 channels): with 12 true output
+    channels the MXU bills a full 128-lane output pass, so cost is
+    proportional to M * K alone. The 2x2 packed-2 kernel
+    (``pack_conv3x3_as2x2_kernel``) bills M*K = (HR/4) * (4*4*cin); this
+    packed-4 emission bills (HR/16) * (9*4*cin) — 1.8x less — because
+    each output position now carries 16 phases (48 channels) toward the
+    128-lane floor instead of 4 (12).
+
+    Tap algebra (rows; cols symmetric): output position I emits phase
+    py' in {0..3} for HR row p = 4I - 1 + py' (one-row phase shift, see
+    ``packed4_phase_unshift``); stride 2 with padding ((1, 2)) makes tap
+    tY read packed-2 cell 2I - 1 + tY = HR rows 4I - 2 + 2*tY + ry, so
+    dy = 2*tY + ry - py' - 1, kept when |dy| <= 1. The two zero-padded
+    cells below the image supply exactly the HR zero-pad row (in-range
+    taps of row sh are the conv's padding; rows beyond get zero weight).
+    Exact numerics; traceable (gradients flow to w_hwio).
+    """
+    kh, kw, cin, cout = w_hwio.shape
+    assert kh == 3 and kw == 3
+    zero = jnp.zeros((cin, cout), w_hwio.dtype)
+    rows = []
+    for ty in range(3):
+        cols = []
+        for tx in range(3):
+            in_blocks = []
+            for ry in range(2):
+                for rx in range(2):
+                    out_blocks = []
+                    for py in range(4):
+                        for px in range(4):
+                            dy = 2 * ty + ry - py - 1
+                            dx = 2 * tx + rx - px - 1
+                            if -1 <= dy <= 1 and -1 <= dx <= 1:
+                                out_blocks.append(w_hwio[dy + 1, dx + 1])
+                            else:
+                                out_blocks.append(zero)
+                    in_blocks.append(jnp.concatenate(out_blocks, axis=-1))
+            cols.append(jnp.concatenate(in_blocks, axis=0))
+        rows.append(jnp.stack(cols, 0))
+    return jnp.stack(rows, 0)  # (3, 3, 4*cin, 16*cout)
 
 
 def conv2d_transpose(p, x, stride: int = 2, padding: int = 1,

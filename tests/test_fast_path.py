@@ -203,6 +203,51 @@ def test_infer_sequence_batch_folded_matches_unfolded(rng, scale):
     assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
 
 
+def test_infer_sequence_batch_packed4_matches_p2(rng):
+    """The packed-4 tail (p2->p4 conv_out, p4 carry, p4 residual,
+    p4->planes warp input) must reproduce the packed-2 path bit-for-bit
+    modulo borderline uint8 roundings. Interpret-mode Pallas warp on
+    CPU."""
+    from tecogan_tpu.models.networks import (
+        FRNetConfig, infer_sequence_batch, init_frnet)
+
+    cfg = FRNetConfig(nf=8, nb=2, scale=4, degradation="BD",
+                      compute_dtype="float32", pallas_warp=False)
+    params = init_frnet(jax.random.PRNGKey(7), cfg)
+    lr = jnp.asarray(rng.random((2, 5, 16, 24, 3)), jnp.float32)
+
+    ref = infer_sequence_batch(params, lr, cfg, chunk=3, packed4=False,
+                               _fold_interpret=True)
+    got = infer_sequence_batch(params, lr, cfg, chunk=3, packed4=True,
+                               _fold_interpret=True)
+    assert got.shape == ref.shape
+    diff = np.abs(np.asarray(got).astype(np.int32)
+                  - np.asarray(ref).astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
+
+
+def test_conv_out_residual_packed4_matches_p2(rng):
+    """Tail-level check: conv_out_residual_packed4 == s2d(4->2 regroup)
+    of conv_out_residual_packed on the same up1 emission."""
+    from tecogan_tpu.models.networks.srnet import (
+        conv_out_residual_packed, conv_out_residual_packed4, init_srnet)
+
+    params = init_srnet(jax.random.PRNGKey(3), 3, 3, 8, 2, 4)
+    h, w = 6, 10
+    outp = jnp.asarray(rng.standard_normal((2, 2 * h, 2 * w, 4 * 8)),
+                       jnp.float32)
+    lr = jnp.asarray(rng.random((2, h, w, 3)), jnp.float32)
+
+    p2 = conv_out_residual_packed(params, outp, lr, 4, "BD")
+    p4 = conv_out_residual_packed4(params, outp, lr, "BD")
+    from tecogan_tpu.ops import depth_to_space
+    hr_p2 = depth_to_space(p2, 2)
+    hr_p4 = depth_to_space(p4, 4)
+    np.testing.assert_allclose(np.asarray(hr_p4), np.asarray(hr_p2),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("scale", [4, 2])
 def test_infer_sequence_batch_paired_matches_unpaired(rng, scale):
     """Stream-paired serving (block-diagonal 2*nf trunk over consecutive
