@@ -73,7 +73,7 @@ def _fps_infer_batch(n_streams: int):
 
 
 def _train_iter(model, mixed_precision=False, report_mfu=False,
-                train_unroll=None):
+                train_unroll=None, remat=True):
     import jax
 
     from tecogan_tpu.models.networks import (
@@ -90,7 +90,7 @@ def _train_iter(model, mixed_precision=False, report_mfu=False,
         (rng.random((4, 10, 136, 136, 3)) * 255).astype(np.uint8),
         batch_sharding(mesh))}
     cfg_g = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD",
-                        train_unroll=train_unroll)
+                        train_unroll=train_unroll, remat=remat)
     base = dict(scale=4, degradation="BD", sigma=1.5, tempo_extent=10,
                 mixed_precision=mixed_precision,
                 pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},
@@ -194,19 +194,26 @@ def main():
                  f"{fps_b4:.1f} frames/s aggregate",
                  "~1.2x over 1 stream: one stream already deploys the "
                  "chip at this shape (PARITY.md round-3 serving analysis)"))
-    t_fr = _train_iter("frvsr")
-    rows.append(("FRVSR train step (batch 4 x 10 frames x 128^2 GT)",
-                 f"{t_fr * 1000:.0f} ms/iter = {4 / t_fr:.1f} clips/s",
+    t_fr = _train_iter("frvsr", mixed_precision=True)
+    rows.append(("FRVSR train step (batch 4 x 10 frames x 128^2 GT, "
+                 "mixed precision — the default)",
+                 f"{t_fr * 1000:.1f} ms/iter = {4 / t_fr:.1f} clips/s",
                  "the reference's full 2-GPU geometry on one chip"))
-    t_tg, fps_tg = _train_iter("tecogan", report_mfu=True)
-    rows.append(("TecoGAN GAN step (same geometry, all losses)",
-                 f"{t_tg * 1000:.0f} ms/iter = {4 / t_tg:.1f} clips/s",
-                 f"{fps_tg / 1e12:.1f} TF/s sustained = "
-                 f"{100 * fps_tg / 197e12:.0f}% of bf16 peak (fp32 step)"))
-    t_mx = _train_iter("tecogan", mixed_precision=True)
-    rows.append(("TecoGAN GAN step, mixed_precision: true (bf16 compute, "
-                 "fp32 master/losses)",
-                 f"{t_mx * 1000:.0f} ms/iter = {4 / t_mx:.1f} clips/s", ""))
+    t_mx, fps_mx = _train_iter("tecogan", mixed_precision=True,
+                               report_mfu=True)
+    rows.append(("TecoGAN GAN step (same geometry, all losses, mixed "
+                 "precision — the default)",
+                 f"{t_mx * 1000:.1f} ms/iter = {4 / t_mx:.1f} clips/s",
+                 f"{fps_mx / 1e12:.1f} TF/s sustained = "
+                 f"{100 * fps_mx / 197e12:.0f}% of bf16 peak"))
+    t_nr = _train_iter("tecogan", mixed_precision=True, remat=False)
+    rows.append(("TecoGAN GAN step, generator.remat: false (memory is "
+                 "ample at this geometry)",
+                 f"{t_nr * 1000:.1f} ms/iter = {4 / t_nr:.1f} clips/s", ""))
+    t_tg = _train_iter("tecogan")
+    rows.append(("TecoGAN GAN step, mixed_precision: false (fp32 escape "
+                 "hatch)",
+                 f"{t_tg * 1000:.0f} ms/iter = {4 / t_tg:.1f} clips/s", ""))
     with tempfile.TemporaryDirectory() as d:
         rate = _loader_rate(d)
     rows.append(("host input pipeline (native clip assembler)",
@@ -216,6 +223,15 @@ def main():
         "# BENCHMARKS — measured on " + dev,
         "",
         "Generated by `python scripts/bench_suite.py`.",
+        "",
+        "Protocols: streaming-inference rows chunk the 64-frame clip as",
+        "ONE whole-clip scan (chunk=64; round-2 numbers <=285 FPS used",
+        "chunk=32, so part of that round's 285->296 delta was protocol).",
+        "Train-step rows use the pipelined protocol (several steps",
+        "enqueued, one sync) matching the real loop's log_freq cadence,",
+        "and the training scan runs fully unrolled on TPU (the",
+        "`train_unroll` auto default; one-time ~10 min XLA compile,",
+        "persistently cached).",
         "",
         "| Benchmark | Result | Notes |",
         "|---|---|---|",
