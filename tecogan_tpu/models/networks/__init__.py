@@ -15,6 +15,7 @@ from .frnet import (
     init_frnet,
     step,
 )
+from .frnet_sp import infer_sequence_sp
 from .discriminators import (
     SNetConfig,
     STNetConfig,
@@ -102,6 +103,7 @@ __all__ = [
     "forward_sequence",
     "infer_sequence",
     "infer_sequence_batch",
+    "infer_sequence_sp",
     "step",
     "build_flow_merge",
 ]

@@ -76,6 +76,18 @@ def get_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("dp",))
 
 
+def get_sp_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D spatial-partition mesh (axis ``'sp'``) for row-sharded
+    single-stream inference (`models.networks.infer_sequence_sp`) —
+    several chips serving ONE large-frame stream. The reference has no
+    counterpart (one stream per GPU, `codes/main.py:248-262`)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("sp",))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over dp; everything else replicated."""
     return NamedSharding(mesh, P("dp"))
