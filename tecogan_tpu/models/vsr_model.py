@@ -13,8 +13,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import Mesh
+
 from .base import BaseVSRModel
-from .networks import define_generator, infer_sequence
+from .networks import define_generator, infer_sequence, infer_sequence_sp
 from .schedules import make_adam
 from .steps import frvsr_init_state, frvsr_train_step, make_train_config
 from ..utils import ckpt as ckpt_io
@@ -61,6 +63,34 @@ class VSRModel(BaseVSRModel):
         return {"lr_G": float(self.sched_g(step))}
 
     # ------------------------------------------------------------------ infer
+    def _sp_mesh_for(self, h: int) -> Mesh | None:
+        """Spatial-partition mesh for an h-row LR frame, or None.
+
+        Opt-in via ``test.spatial_partition: true`` (no reference
+        counterpart — the reference pins one stream per GPU,
+        `codes/main.py:248-262`): shard ONE stream's rows over this
+        model's local devices for single-stream latency on large frames.
+        Picks the largest device count k with ``h % k == 0`` and
+        ``(h/k) % 8 == 0`` (FNet pooling alignment); falls back to the
+        single-chip path (with a log note) when none fits. Multi-host
+        test mode round-robins *different* sequences per process, which
+        is incompatible with one gang-scheduled SPMD program — SP is
+        single-process only.
+        """
+        if not self.opt.get("test", {}).get("spatial_partition", False):
+            return None
+        if jax.process_count() > 1:
+            return None
+        devs = list(self.mesh.devices.flat)
+        if len(devs) < 2:
+            return None
+        for k in range(len(devs), 1, -1):
+            if h % k == 0 and (h // k) % 8 == 0:
+                return Mesh(np.asarray(devs[:k]), axis_names=("sp",))
+        log_info(f"spatial_partition: no device count in [2, {len(devs)}] "
+                 f"divides h={h} into /8 row blocks; using one device")
+        return None
+
     def infer(self, lr_data: np.ndarray, chunk: int = 16) -> np.ndarray:
         """LR sequence (t, h, w, c) float32 -> SR uint8 (t, sh, sw, c).
 
@@ -68,6 +98,16 @@ class VSRModel(BaseVSRModel):
         (`vsr_model.py:97-113`).
         """
         lr_data, n_pad = self.pad_sequence(lr_data)
+        sp_mesh = self._sp_mesh_for(lr_data.shape[1])
+        if sp_mesh is not None:
+            key = ("sp", sp_mesh.shape["sp"], chunk)
+            if key not in self._infer_fn_cache:
+                self._infer_fn_cache[key] = jax.jit(functools.partial(
+                    infer_sequence_sp, cfg=self.cfg_g, mesh=sp_mesh,
+                    chunk=chunk))
+            hr = self._infer_fn_cache[key](self.state["g"],
+                                           jnp.asarray(lr_data))
+            return np.asarray(hr[n_pad:])
         # one jit wrapper per chunk size (bounded); jit's own cache handles
         # per-shape retraces — keying the dict by input shape would hold a
         # duplicate executable per sequence geometry forever

@@ -109,6 +109,41 @@ def test_sp_mesh_size_one_falls_back(rng):
     np.testing.assert_array_equal(got, ref)
 
 
+def _model_opt(spatial_partition):
+    return {
+        "scale": 4, "manual_seed": 0,
+        "dataset": {"degradation": {"type": "BD", "sigma": 1.5}},
+        "model": {"name": "FRVSR",
+                  "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
+                                "nf": 8, "nb": 2}},
+        "test": {"padding_mode": "reflect", "num_pad_front": 2,
+                 "spatial_partition": spatial_partition},
+    }
+
+
+def test_model_infer_spatial_partition_flag(rng):
+    """`test.spatial_partition: true` routes VSRModel.infer through the
+    row-sharded path (largest fitting device count) with matching output;
+    an incompatible height falls back to the single-chip path."""
+    from tecogan_tpu.models import define_model
+
+    lr = rng.random((5, 64, 16, 3)).astype(np.float32)
+    ref = define_model(_model_opt(False)).infer(lr, chunk=3)
+    m = define_model(_model_opt(True))
+    got = m.infer(lr, chunk=3)
+    _assert_u8_close(got, ref)
+    assert any(k[0] == "sp" for k in m._infer_fn_cache
+               if isinstance(k, tuple))
+    # h=8: every k>=2 gives h/k < 8 rows/shard -> no fit, fallback path
+    lr_small = rng.random((5, 8, 16, 3)).astype(np.float32)
+    m2 = define_model(_model_opt(True))
+    ref2 = define_model(_model_opt(False)).infer(lr_small, chunk=3)
+    got2 = m2.infer(lr_small, chunk=3)
+    _assert_u8_close(got2, ref2)
+    assert not any(isinstance(k, tuple) and k[0] == "sp"
+                   for k in m2._infer_fn_cache)
+
+
 def test_sp_rejects_misaligned_rows(rng):
     cfg = _cfg()
     params = init_frnet(jax.random.PRNGKey(0), cfg)
