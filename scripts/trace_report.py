@@ -137,6 +137,8 @@ def _train_case(model_name):
         tecogan_init_state, tecogan_train_step)
     from tecogan_tpu.parallel import batch_sharding, get_mesh, replicated
 
+    noremat = model_name.endswith("_noremat")
+    model_name = model_name.removesuffix("_noremat")
     mixed = model_name.endswith("_bf16")
     model_name = model_name.removesuffix("_bf16")
     mesh = get_mesh()
@@ -144,7 +146,8 @@ def _train_case(model_name):
     batch = {"gt": jax.device_put(
         (rng.random((4, 10, 136, 136, 3)) * 255).astype(np.uint8),
         batch_sharding(mesh))}
-    cfg_g = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD")
+    cfg_g = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD",
+                        remat=not noremat)
     base = dict(scale=4, degradation="BD", sigma=1.5, tempo_extent=10,
                 mixed_precision=mixed,
                 pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},
