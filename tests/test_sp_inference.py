@@ -26,13 +26,13 @@ from tecogan_tpu.ops.warp import backward_warp, backward_warp_window
 from tecogan_tpu.parallel import get_sp_mesh
 
 
-def _cfg(nb=2, scale=4):
-    return FRNetConfig(nf=8, nb=nb, scale=scale, degradation="BD",
+def _cfg(nb=2, scale=4, degradation="BD"):
+    return FRNetConfig(nf=8, nb=nb, scale=scale, degradation=degradation,
                        compute_dtype="float32")
 
 
-def _run_pair(rng, k, t, h, w, nb=2, scale=4, chunk=3):
-    cfg = _cfg(nb=nb, scale=scale)
+def _run_pair(rng, k, t, h, w, nb=2, scale=4, chunk=3, degradation="BD"):
+    cfg = _cfg(nb=nb, scale=scale, degradation=degradation)
     params = init_frnet(jax.random.PRNGKey(0), cfg)
     lr = jnp.asarray(rng.random((t, h, w, 3)), jnp.float32)
     ref = np.asarray(infer_sequence(params, lr, cfg, chunk=chunk))
@@ -96,6 +96,13 @@ def test_sp_matches_unsharded_fnet_sliced(rng):
 def test_sp_matches_unsharded_2x(rng):
     """scale=2 halo arithmetic (reach 50 -> 56, b2 = 184)."""
     ref, got = _run_pair(rng, k=4, t=4, h=256, w=16, scale=2)
+    _assert_u8_close(got, ref)
+
+
+def test_sp_matches_unsharded_bi(rng):
+    """BI degradation: the bicubic half-pixel global residual windows
+    (2-LR-row support, well inside the h_sr halo) instead of BD's."""
+    ref, got = _run_pair(rng, k=4, t=4, h=256, w=16, degradation="BI")
     _assert_u8_close(got, ref)
 
 
