@@ -48,7 +48,16 @@ def define_generator(opt):
         # reference geometry (measured, PARITY.md) but stores the whole
         # unroll's activations — set `remat: false` for small crops
         remat=g.get("remat", True),
+        # INFERENCE precision (training precision is train.mixed_precision):
+        # 'bfloat16' enables the fast serving path (fp32 warp coordinates
+        # and output quantisation are kept regardless; drift bounded by
+        # tests/test_golden.py). Default fp32 = reference numerics.
+        compute_dtype=g.get("compute_dtype", "float32"),
     )
+    if cfg.compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"generator.compute_dtype must be float32|bfloat16, got "
+            f"{cfg.compute_dtype!r}")
     return cfg, (lambda key: init_frnet(key, cfg))
 
 

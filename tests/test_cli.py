@@ -142,6 +142,27 @@ def test_all_shipped_configs_construct():
                 define_discriminator(opt)
 
 
+def test_generator_compute_dtype_key():
+    """`model.generator.compute_dtype: bfloat16` reaches FRNetConfig (the
+    fast serving path is CLI-selectable); bad values fail loudly."""
+    import pytest
+
+    from tecogan_tpu.models.networks import define_generator
+
+    opt = {"scale": 4,
+           "dataset": {"degradation": {"type": "BD"}},
+           "model": {"generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
+                                   "nf": 8, "nb": 2}}}
+    cfg, _ = define_generator(opt)
+    assert cfg.compute_dtype == "float32"
+    opt["model"]["generator"]["compute_dtype"] = "bfloat16"
+    cfg, _ = define_generator(opt)
+    assert cfg.compute_dtype == "bfloat16"
+    opt["model"]["generator"]["compute_dtype"] = "float16"
+    with pytest.raises(ValueError, match="compute_dtype"):
+        define_generator(opt)
+
+
 def test_cli_resume_respects_global_iteration_budget(tiny_exp):
     """total_iter is the GLOBAL budget: re-launching a finished run
     auto-resumes at the saved step and trains ZERO further iterations
