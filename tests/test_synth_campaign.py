@@ -1,0 +1,71 @@
+"""Unit coverage for the synthetic campaign tooling
+(scripts/run_synth_campaign.py): clip synthesis properties and the
+generated config's compatibility with the real config/data layers."""
+
+import importlib.util
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def campaign():
+    spec = importlib.util.spec_from_file_location(
+        "run_synth_campaign", osp.join(REPO, "scripts",
+                                       "run_synth_campaign.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["run_synth_campaign"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_synth_clip_shape_dtype_motion(campaign):
+    rng = np.random.default_rng(0)
+    clip = campaign.synth_clip(rng, t=6, h=64, w=80)
+    assert clip.shape == (6, 64, 80, 3) and clip.dtype == np.uint8
+    # frames actually move: consecutive frames differ substantially but
+    # are correlated (smooth textures, bounded velocity)
+    d01 = np.abs(clip[1].astype(np.int32) - clip[0].astype(np.int32)).mean()
+    d05 = np.abs(clip[5].astype(np.int32) - clip[0].astype(np.int32)).mean()
+    assert d01 > 0.5, "no temporal change"
+    assert d05 > d01, "motion should accumulate over frames"
+    # determinism: same seed -> same clip
+    clip2 = campaign.synth_clip(np.random.default_rng(0), t=6, h=64, w=80)
+    np.testing.assert_array_equal(clip, clip2)
+
+
+def test_campaign_config_feeds_real_loader(campaign, tmp_path):
+    """The generated train opt drives the REAL dataset/loader factory."""
+    wd = str(tmp_path)
+    campaign.stage_data(wd, n_train=2, t_train=6, hw_train=(72, 72),
+                        n_test=1, t_test=6, hw_test=(64, 64))
+    model = {"name": "FRVSR",
+             "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
+                           "nf": 8, "nb": 2}}
+    train = {"generator": {"lr": 1e-4,
+                           "lr_schedule": {"type": "FixedLR"},
+                           "betas": [0.9, 0.999]}}
+    opt = campaign._base_opt(wd, model, train, total_iter=2, test_freq=2,
+                             ckpt_freq=2, crop=32, tempo=3)
+
+    from tecogan_tpu.data import create_dataloader
+
+    loader = create_dataloader(opt, "train", "train", n_devices=1)
+    batch = next(iter(loader))
+    # BD crop enlargement: 32 + 2*int(3*1.5) = 40
+    assert batch["gt"].shape == (4, 3, 40, 40, 3)
+    assert batch["gt"].dtype == np.uint8
+
+
+def test_official_metrics_summary_parsing(campaign):
+    import re
+
+    pat = re.compile(r"^(\w+), total frame (\d+), total avg ([\d.+-eEna]+), "
+                     r"folder avg ([\d.+-eEna]+)")
+    m = pat.match("PSNR, total frame 104, total avg 27.0613, "
+                  "folder avg 27.0598")
+    assert m and m.group(1) == "PSNR" and int(m.group(2)) == 104
