@@ -138,6 +138,9 @@ def _base_opt(wd, model_block, train_block, total_iter, test_freq,
                 "seq_dir": rec_dir, "crop_size": crop, "data_type": "rgb",
                 "batch_size_per_gpu": 4, "num_worker_per_gpu": 3,
                 "pin_memory": True,
+                # the synthetic corpus is ~113 MB: keep it in HBM and
+                # stream only sample plans (survives thin host links)
+                "device_resident": True,
             },
             "test": {
                 "name": "SynthHeldout", "gt_seq_dir": gt_dir,

@@ -45,6 +45,12 @@ def create_dataloader(opt, phase: str, idx: str, n_devices: int = 1):
             # a quarter of the host->device bytes
             output_dtype=np.uint8,
         )
+        if data_opt.get("device_resident", False) and degradation != "BD":
+            # BD-only: the paired BI dataset streams two stores and is
+            # host-assembled
+            raise ValueError(
+                "dataset.train.device_resident currently supports BD "
+                "training only")
         if degradation == "BI":
             dataset = PairedClipDataset(
                 data_opt["gt_seq_dir"], data_opt["lr_seq_dir"],
@@ -62,6 +68,18 @@ def create_dataloader(opt, phase: str, idx: str, n_devices: int = 1):
                 data_opt["seq_dir"], crop_size=enlarged, **common)
         else:
             raise ValueError(f"Unrecognized degradation type: {degradation}")
+
+        if data_opt.get("device_resident", False):
+            # keep the whole (uniform, HBM-sized) corpus on device and
+            # ship only per-step sample plans — the recurring uint8 batch
+            # H2D disappears (see data/device_data.py)
+            from .device_data import DeviceResidentLoader
+
+            return DeviceResidentLoader(
+                dataset,
+                batch_size=data_opt["batch_size_per_gpu"] * n_devices,
+                seed=opt.get("manual_seed", 2021),
+            )
 
         return TrainLoader(
             dataset,

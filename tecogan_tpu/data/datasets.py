@@ -90,12 +90,21 @@ class UnpairedClipDataset:
     def __len__(self):
         return len(self.keys)
 
-    def __getitem__(self, item_rng):
-        item, rng = item_rng
+    def sample_plan(self, item, rng):
+        """Draw every random decision for sample ``item`` into a plan dict.
+
+        The plan fully determines the sample: frame indices (temporal
+        reflection and the temporal flip already folded in), per-frame crop
+        corners, and the spatial-augmentation index. ``assemble`` (host) and
+        the device-resident gather (data/device_data.py) consume the SAME
+        plan, so the two input paths are bit-identical by construction. RNG
+        draws happen in the exact order of the original __getitem__, keeping
+        the (seed, epoch, i) determinism contract unchanged.
+        """
         key = self.keys[item]
         t = self.tempo_extent
         csz = self.crop_size
-        _, (_, h, w), _ = parse_key(key)
+        vid, (tot, h, w), cur = parse_key(key)
 
         if self.moving_first_frame and rng.uniform() > self.moving_factor:
             # random-walk windows over the first frame, then the regular
@@ -107,33 +116,46 @@ class UnpairedClipDataset:
                 f"crop {csz} > moving-clip extent {ch}x{cw}"
             top = rng.integers(0, ch - csz + 1)
             left = rng.integers(0, cw - csz + 1)
-            keys = [key] * t
-            tops = pos[:, 0] + top
-            lefts = pos[:, 1] + left
+            f_idx = np.full(t, cur, np.int32)
+            tops = (pos[:, 0] + top).astype(np.int32)
+            lefts = (pos[:, 1] + left).astype(np.int32)
         else:
-            keys, _ = _clip_keys(key, t)
             assert csz <= h and csz <= w, f"crop {csz} > image {h}x{w}"
             top = rng.integers(0, h - csz + 1)
             left = rng.integers(0, w - csz + 1)
+            f_idx = np.asarray(
+                [_reflect_index(i, tot) for i in range(cur, cur + t)],
+                np.int32)
             tops = np.full(t, top, np.int32)
             lefts = np.full(t, left, np.int32)
 
-        pats = self.store.clip(keys, tops, lefts, csz, csz,
-                               self.output_dtype)
-        pats = self._augment(pats, rng)
-        return {"gt": np.ascontiguousarray(pats)}
+        # augmentation draws (same draw order as the original _augment)
+        axis = int(rng.integers(1, 4))  # 1: none, 2: h, 3: w (thwc 1/2)
+        if rng.integers(0, 2) == 0:  # temporal flip: reorder the plan
+            f_idx, tops, lefts = f_idx[::-1], tops[::-1], lefts[::-1]
+        k = int(rng.integers(0, 4))
+        return {
+            "vid": vid, "tot": tot, "h": h, "w": w,
+            "f_idx": f_idx, "tops": tops, "lefts": lefts,
+            "aug": (axis - 1) * 4 + k,  # spatial-aug index in [0, 12)
+        }
 
-    @staticmethod
-    def _augment(pats, rng):
-        # spatial flip on h or w (or none), temporal flip, k*90 rotation
-        axis = rng.integers(1, 4)  # 1: none, 2: h, 3: w  (thwc axes 1/2)
+    def assemble(self, plan):
+        """Host assembly of a plan: mmap crop gather + spatial aug."""
+        keys = [make_key(plan["vid"], plan["tot"], plan["h"], plan["w"], i)
+                for i in plan["f_idx"]]
+        csz = self.crop_size
+        pats = self.store.clip(keys, plan["tops"], plan["lefts"], csz, csz,
+                               self.output_dtype)
+        axis, k = plan["aug"] // 4 + 1, plan["aug"] % 4
         if axis > 1:
             pats = np.flip(pats, axis - 1)
-        if rng.integers(0, 2) == 0:
-            pats = np.flip(pats, 0)
-        k = rng.integers(0, 4)
         pats = np.rot90(pats, k, (1, 2))
-        return pats
+        return {"gt": np.ascontiguousarray(pats)}
+
+    def __getitem__(self, item_rng):
+        item, rng = item_rng
+        return self.assemble(self.sample_plan(item, rng))
 
 
 class PairedClipDataset:

@@ -1,0 +1,156 @@
+"""Device-resident training data: upload the corpus once, stream only plans.
+
+Motivation: the training batch is the ONLY recurring host->device transfer
+of the train loop (uint8 GT crops, ~2.2 MB/step at the reference geometry).
+On hosts with a thin chip link (this sandbox's tunnel degrades to a few
+MB/s under load; remote/disaggregated serving links behave the same) that
+transfer dominates the step. For corpora that fit HBM — synthetic sets,
+fine-tune sets, REDS-scale crops — the TPU-native answer is to keep the
+DATASET on the device: upload all frames once, then per step ship only the
+sample *plans* (frame indices, crop corners, augmentation index — a few
+hundred bytes) and assemble the batch inside a jitted gather on device.
+
+Exactness: `UnpairedClipDataset.sample_plan` draws every random decision
+with the same (seed, epoch, i) streams the host loader uses, and the device
+gather consumes the identical plan — the produced batches are bit-identical
+to the host loader's (tests/test_device_data.py). The spatial augmentation
+(flip none/h/w x rot90 k) is applied via 12 precomputed index maps so the
+crop + flip + rotation collapse into ONE gather per sample.
+
+Scope: BD training (UnpairedClipDataset) over a uniform-geometry corpus.
+Reference counterpart: none — `codes/data/*` always stream batches from
+host memory through PCIe every step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .loader import TrainLoader
+
+__all__ = ["DeviceResidentLoader", "dihedral_maps"]
+
+# keep the resident corpus comfortably below HBM (v5e: 16 GB, minus model,
+# optimizer state, activations and the XLA workspace)
+MAX_CORPUS_BYTES = 4 << 30
+
+
+def dihedral_maps(csz: int) -> np.ndarray:
+    """(12, csz, csz, 2) source-index maps for the 12 spatial-aug variants
+    (flip {none, h, w} x rot90 k in {0..3}), derived by pushing an identity
+    index grid through the SAME numpy ops the host path applies — the two
+    paths cannot drift."""
+    ii, jj = np.meshgrid(np.arange(csz), np.arange(csz), indexing="ij")
+    ident = np.stack([ii, jj], axis=-1).astype(np.int32)  # (csz, csz, 2)
+    maps = []
+    for axis in (1, 2, 3):
+        for k in range(4):
+            m = ident[None]  # fake t-axis so axis numbers match thwc
+            if axis > 1:
+                m = np.flip(m, axis - 1)
+            m = np.rot90(m, k, (1, 2))
+            maps.append(np.ascontiguousarray(m[0]))
+    return np.stack(maps)
+
+
+def _load_uniform_corpus(dataset):
+    """Stack the dataset's store into one (n_clips, T, H, W, C) uint8 array.
+
+    Requires every sequence to share (T, H, W, C); vids are indexed in
+    sorted order and the vid->index map is returned for plan translation.
+    """
+    from .records import make_key, parse_key
+
+    store = dataset.store
+    vids = sorted({parse_key(k)[0] for k in dataset.keys})
+    shapes = set()
+    infos = []
+    for vid in vids:
+        some_key = next(k for k in dataset.keys if parse_key(k)[0] == vid)
+        _, (tot, h, w), _ = parse_key(some_key)
+        infos.append((vid, tot, h, w))
+        shapes.add((tot, h, w))
+    if len(shapes) != 1:
+        raise ValueError(
+            f"device-resident data needs a uniform corpus; found clip "
+            f"geometries {sorted(shapes)}. Use the host loader "
+            f"(device_resident: false) for mixed-geometry data.")
+    tot, h, w = next(iter(shapes))
+    first = store.get(make_key(*infos[0][:4], 0))
+    c = first.shape[-1]
+    nbytes = len(vids) * tot * h * w * c
+    if nbytes > MAX_CORPUS_BYTES:
+        raise ValueError(
+            f"corpus is {nbytes / 2 ** 30:.1f} GiB — too large to keep "
+            f"device-resident (cap {MAX_CORPUS_BYTES / 2 ** 30:.0f} GiB). "
+            f"Use the host loader (device_resident: false).")
+    clips = np.empty((len(vids), tot, h, w, c), np.uint8)
+    for ci, (vid, tot_, h_, w_) in enumerate(infos):
+        for fi in range(tot_):
+            clips[ci, fi] = store.get(make_key(vid, tot_, h_, w_, fi))
+    return clips, {vid: i for i, (vid, *_rest) in enumerate(infos)}
+
+
+class DeviceResidentLoader(TrainLoader):
+    """TrainLoader drop-in whose epochs yield DEVICE batches.
+
+    Same epoch order, same per-sample RNG streams, same batch contents as
+    the host loader — but the per-step host->device payload is the stacked
+    plans (int32, ~100 B/sample) instead of the crops; the batch itself is
+    born on device.
+    """
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0, **_unused):
+        super().__init__(dataset, batch_size, seed=seed, num_workers=1)
+        import jax
+        import jax.numpy as jnp
+
+        clips, self.vid_index = _load_uniform_corpus(dataset)
+        # assembled on the process's default device; the model's
+        # prepare_training_data then device_puts to its dp sharding (a
+        # no-op on one chip, an on-fabric scatter on a mesh — never a
+        # host->device transfer). A natively-sharded multi-chip variant
+        # (clips replicated, gather partitioned) is a straightforward
+        # extension once a real multi-chip host exists to measure it on.
+        self._clips = jax.device_put(clips)
+        self._maps = jax.device_put(dihedral_maps(dataset.crop_size))
+
+        def assemble_one(clips_d, maps_d, ci, f_idx, tops, lefts, aug):
+            frames = jnp.take(clips_d, ci, axis=0)  # (T, H, W, C)
+            fr = jnp.take(frames, f_idx, axis=0)    # (t, H, W, C)
+            m = jnp.take(maps_d, aug, axis=0)       # (csz, csz, 2)
+            rows = tops[:, None, None] + m[..., 0]
+            cols = lefts[:, None, None] + m[..., 1]
+            tt = jnp.arange(f_idx.shape[0])[:, None, None]
+            return fr[tt, rows, cols]               # (t, csz, csz, C)
+
+        def assemble(clips_d, maps_d, plans):
+            return {"gt": jax.vmap(
+                lambda p: assemble_one(clips_d, maps_d, p["ci"], p["f_idx"],
+                                       p["tops"], p["lefts"], p["aug"])
+            )(plans)}
+
+        self._assemble = jax.jit(assemble)
+
+    def epoch(self, epoch_idx: int):
+        import jax
+
+        n = len(self.dataset)
+        order = np.random.default_rng(
+            (self.seed, epoch_idx)).permutation(n)
+        for b in range(len(self)):
+            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+            plans = []
+            for i in idxs:
+                rng = np.random.default_rng((self.seed, epoch_idx, int(i)))
+                p = self.dataset.sample_plan(int(i), rng)
+                plans.append({
+                    "ci": np.int32(self.vid_index[p["vid"]]),
+                    "f_idx": p["f_idx"], "tops": p["tops"],
+                    "lefts": p["lefts"], "aug": np.int32(p["aug"]),
+                })
+            stacked = {
+                k: np.stack([p[k] for p in plans]) for k in plans[0]
+            }
+            yield self._assemble(self._clips, self._maps,
+                                 jax.device_put(stacked))

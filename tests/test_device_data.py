@@ -1,0 +1,120 @@
+"""Device-resident training data (data/device_data.py): the device-gathered
+batches must be BIT-identical to the host loader's, across augmentation
+variants, temporal reflection and the moving-first-frame walk."""
+
+import numpy as np
+import pytest
+
+from tecogan_tpu.data import RecordWriter, TrainLoader, UnpairedClipDataset
+
+
+@pytest.fixture
+def uniform_records(tmp_path, rng):
+    out = str(tmp_path / "GT.rec")
+    w = RecordWriter(out)
+    for i in range(3):
+        frames = (rng.random((6, 48, 56, 3)) * 255).astype(np.uint8)
+        w.add_sequence(f"vid{i}", frames)
+    w.close()
+    return out
+
+
+@pytest.fixture
+def mixed_records(tmp_path, rng):
+    out = str(tmp_path / "GT_mixed.rec")
+    w = RecordWriter(out)
+    w.add_sequence("a", (rng.random((4, 48, 56, 3)) * 255).astype(np.uint8))
+    w.add_sequence("b", (rng.random((4, 40, 56, 3)) * 255).astype(np.uint8))
+    w.close()
+    return out
+
+
+def _dataset(path, **kw):
+    kw.setdefault("crop_size", 24)
+    kw.setdefault("tempo_extent", 4)
+    kw.setdefault("output_dtype", np.uint8)
+    return UnpairedClipDataset(path, **kw)
+
+
+def test_plan_assemble_equals_getitem(uniform_records):
+    """The sample_plan/assemble split reproduces __getitem__ exactly
+    (same RNG stream consumption, same pixels)."""
+    ds = _dataset(uniform_records, moving_first_frame=True,
+                  moving_factor=0.5)
+    for i in range(len(ds)):
+        a = ds.assemble(ds.sample_plan(i, np.random.default_rng((7, i))))
+        b = ds[(i, np.random.default_rng((7, i)))]
+        np.testing.assert_array_equal(a["gt"], b["gt"])
+
+
+def test_dihedral_maps_cover_all_augs(uniform_records):
+    """Every spatial-aug index maps the crop exactly like the host numpy
+    ops (maps are derived from them, but verify the gather-side use)."""
+    from tecogan_tpu.data.device_data import dihedral_maps
+
+    csz = 8
+    maps = dihedral_maps(csz)
+    x = np.arange(csz * csz * 3, dtype=np.int32).reshape(1, csz, csz, 3)
+    for aug in range(12):
+        axis, k = aug // 4 + 1, aug % 4
+        want = x
+        if axis > 1:
+            want = np.flip(want, axis - 1)
+        want = np.rot90(want, k, (1, 2))
+        got = x[0][maps[aug, ..., 0], maps[aug, ..., 1]][None]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_device_loader_matches_host_loader(uniform_records):
+    """Bit-identical batches from the device-resident loader and the host
+    TrainLoader for the same seed/epoch (the headline contract)."""
+    from tecogan_tpu.data.device_data import DeviceResidentLoader
+
+    ds = _dataset(uniform_records, moving_first_frame=True,
+                  moving_factor=0.5)
+    host = TrainLoader(ds, batch_size=4, seed=11, num_workers=2)
+    dev = DeviceResidentLoader(ds, batch_size=4, seed=11)
+    for epoch in (0, 1):
+        hb = list(host.epoch(epoch))
+        db = list(dev.epoch(epoch))
+        assert len(hb) == len(db) == len(host)
+        for h, d in zip(hb, db):
+            got = np.asarray(d["gt"])
+            assert got.dtype == np.uint8
+            np.testing.assert_array_equal(got, h["gt"])
+
+
+def test_device_loader_rejects_mixed_geometry(mixed_records):
+    from tecogan_tpu.data.device_data import DeviceResidentLoader
+
+    ds = _dataset(mixed_records)
+    with pytest.raises(ValueError, match="uniform corpus"):
+        DeviceResidentLoader(ds, batch_size=2)
+
+
+def test_factory_knob(uniform_records):
+    from tecogan_tpu.data import create_dataloader
+    from tecogan_tpu.data.device_data import DeviceResidentLoader
+
+    opt = {
+        "scale": 4, "manual_seed": 3,
+        "dataset": {
+            "degradation": {"type": "BD", "sigma": 1.5},
+            "train": {"name": "x", "seq_dir": uniform_records,
+                      "crop_size": 16, "batch_size_per_gpu": 2,
+                      "device_resident": True},
+        },
+        "train": {"tempo_extent": 3},
+    }
+    loader = create_dataloader(opt, "train", "train", n_devices=1)
+    assert isinstance(loader, DeviceResidentLoader)
+    batch = next(iter(loader))
+    # BD crop enlargement: 16 + 2*int(3*1.5) = 24
+    assert np.asarray(batch["gt"]).shape == (2, 3, 24, 24, 3)
+
+    opt["dataset"]["degradation"] = {"type": "BI"}
+    opt["dataset"]["train"]["gt_seq_dir"] = uniform_records
+    opt["dataset"]["train"]["lr_seq_dir"] = uniform_records
+    opt["dataset"]["train"]["gt_crop_size"] = 16
+    with pytest.raises(ValueError, match="BD"):
+        create_dataloader(opt, "train", "train", n_devices=1)
