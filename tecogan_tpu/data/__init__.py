@@ -45,12 +45,6 @@ def create_dataloader(opt, phase: str, idx: str, n_devices: int = 1):
             # a quarter of the host->device bytes
             output_dtype=np.uint8,
         )
-        if data_opt.get("device_resident", False) and degradation != "BD":
-            # BD-only: the paired BI dataset streams two stores and is
-            # host-assembled
-            raise ValueError(
-                "dataset.train.device_resident currently supports BD "
-                "training only")
         if degradation == "BI":
             dataset = PairedClipDataset(
                 data_opt["gt_seq_dir"], data_opt["lr_seq_dir"],

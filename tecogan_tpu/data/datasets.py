@@ -194,13 +194,15 @@ class PairedClipDataset:
     def __len__(self):
         return len(self.pairs)
 
-    def __getitem__(self, item_rng):
-        item, rng = item_rng
+    def sample_plan(self, item, rng):
+        """Draw every random decision for sample ``item`` (see the unpaired
+        variant's docstring): frame indices, LR-unit crop corners and the
+        spatial-aug index (no temporal flip for paired data). RNG draw
+        order matches the original __getitem__."""
         gt_key, lr_key = self.pairs[item]
         t, s = self.tempo_extent, self.scale
-        gcsz = self.gt_crop_size
-        lcsz = gcsz // s
-        _, (_, gh, gw), _ = parse_key(gt_key)
+        lcsz = self.gt_crop_size // s
+        vid, (tot, gh, gw), cur = parse_key(gt_key)
         _, (_, lh, lw), _ = parse_key(lr_key)
         assert gh == s * lh and gw == s * lw, (gt_key, lr_key)
 
@@ -210,38 +212,55 @@ class PairedClipDataset:
             assert lcsz <= ch and lcsz <= cw
             top = rng.integers(0, ch - lcsz + 1)
             left = rng.integers(0, cw - lcsz + 1)
-            gks, lks = [gt_key] * t, [lr_key] * t
-            l_tops, l_lefts = pos[:, 0] + top, pos[:, 1] + left
+            f_idx = np.full(t, cur, np.int32)
+            l_tops = (pos[:, 0] + top).astype(np.int32)
+            l_lefts = (pos[:, 1] + left).astype(np.int32)
         else:
-            gks, _ = _clip_keys(gt_key, t)
-            lks, _ = _clip_keys(lr_key, t)
             assert lcsz <= lh and lcsz <= lw
             top = rng.integers(0, lh - lcsz + 1)
             left = rng.integers(0, lw - lcsz + 1)
+            f_idx = np.asarray(
+                [_reflect_index(i, tot) for i in range(cur, cur + t)],
+                np.int32)
             l_tops = np.full(t, top, np.int32)
             l_lefts = np.full(t, left, np.int32)
 
+        axis = int(rng.integers(1, 4))
+        k = int(rng.integers(0, 4))
+        return {
+            "vid": vid, "tot": tot, "h": gh, "w": gw,
+            "lh": lh, "lw": lw,
+            "f_idx": f_idx, "tops": l_tops, "lefts": l_lefts,
+            "aug": (axis - 1) * 4 + k,
+        }
+
+    def assemble(self, plan):
+        s = self.scale
+        gcsz = self.gt_crop_size
+        lcsz = gcsz // s
+        gks = [make_key(plan["vid"], plan["tot"], plan["h"], plan["w"], i)
+               for i in plan["f_idx"]]
+        lks = [make_key(plan["vid"], plan["tot"], plan["lh"], plan["lw"], i)
+               for i in plan["f_idx"]]
         dt = self.output_dtype
-        lr_pats = self.lr_store.clip(lks, l_tops, l_lefts, lcsz, lcsz, dt)
-        gt_pats = self.gt_store.clip(gks, l_tops * s, l_lefts * s,
-                                     gcsz, gcsz, dt)
-        gt_pats, lr_pats = self._paired_augment(gt_pats, lr_pats, rng)
+        lr_pats = self.lr_store.clip(lks, plan["tops"], plan["lefts"],
+                                     lcsz, lcsz, dt)
+        gt_pats = self.gt_store.clip(gks, plan["tops"] * s,
+                                     plan["lefts"] * s, gcsz, gcsz, dt)
+        axis, k = plan["aug"] // 4 + 1, plan["aug"] % 4
+        if axis > 1:
+            gt_pats = np.flip(gt_pats, axis - 1)
+            lr_pats = np.flip(lr_pats, axis - 1)
+        gt_pats = np.rot90(gt_pats, k, (1, 2))
+        lr_pats = np.rot90(lr_pats, k, (1, 2))
         return {
             "gt": np.ascontiguousarray(gt_pats),
             "lr": np.ascontiguousarray(lr_pats),
         }
 
-    @staticmethod
-    def _paired_augment(gt, lr, rng):
-        # spatial flip + rotation only (no temporal flip for paired data)
-        axis = rng.integers(1, 4)
-        if axis > 1:
-            gt = np.flip(gt, axis - 1)
-            lr = np.flip(lr, axis - 1)
-        k = rng.integers(0, 4)
-        gt = np.rot90(gt, k, (1, 2))
-        lr = np.rot90(lr, k, (1, 2))
-        return gt, lr
+    def __getitem__(self, item_rng):
+        item, rng = item_rng
+        return self.assemble(self.sample_plan(item, rng))
 
 
 # --------------------------------------------------------------------------

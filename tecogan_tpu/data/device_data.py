@@ -17,7 +17,8 @@ to the host loader's (tests/test_device_data.py). The spatial augmentation
 (flip none/h/w x rot90 k) is applied via 12 precomputed index maps so the
 crop + flip + rotation collapse into ONE gather per sample.
 
-Scope: BD training (UnpairedClipDataset) over a uniform-geometry corpus.
+Scope: BD (UnpairedClipDataset) and BI (PairedClipDataset — both the GT
+and LR stores go resident) training over uniform-geometry corpora.
 Reference counterpart: none — `codes/data/*` always stream batches from
 host memory through PCIe every step.
 """
@@ -53,20 +54,19 @@ def dihedral_maps(csz: int) -> np.ndarray:
     return np.stack(maps)
 
 
-def _load_uniform_corpus(dataset):
-    """Stack the dataset's store into one (n_clips, T, H, W, C) uint8 array.
+def _load_uniform_corpus(store, keys):
+    """Stack a store's sequences into one (n_clips, T, H, W, C) uint8 array.
 
     Requires every sequence to share (T, H, W, C); vids are indexed in
     sorted order and the vid->index map is returned for plan translation.
     """
     from .records import make_key, parse_key
 
-    store = dataset.store
-    vids = sorted({parse_key(k)[0] for k in dataset.keys})
+    vids = sorted({parse_key(k)[0] for k in keys})
     shapes = set()
     infos = []
     for vid in vids:
-        some_key = next(k for k in dataset.keys if parse_key(k)[0] == vid)
+        some_key = next(k for k in keys if parse_key(k)[0] == vid)
         _, (tot, h, w), _ = parse_key(some_key)
         infos.append((vid, tot, h, w))
         shapes.add((tot, h, w))
@@ -105,30 +105,54 @@ class DeviceResidentLoader(TrainLoader):
         import jax
         import jax.numpy as jnp
 
-        clips, self.vid_index = _load_uniform_corpus(dataset)
+        # paired (BI) datasets carry two stores; unpaired (BD) one
+        self._paired = hasattr(dataset, "pairs")
+        if self._paired:
+            scale = dataset.scale
+            gcsz = dataset.gt_crop_size
+            lcsz = gcsz // scale
+            gt_keys = [gk for gk, _ in dataset.pairs]
+            lr_keys = [lk for _, lk in dataset.pairs]
+            gt_clips, self.vid_index = _load_uniform_corpus(
+                dataset.gt_store, gt_keys)
+            lr_clips, _ = _load_uniform_corpus(dataset.lr_store, lr_keys)
+            corpora = {"gt": gt_clips, "lr": lr_clips}
+            geoms = {"gt": (gcsz, scale), "lr": (lcsz, 1)}
+        else:
+            clips, self.vid_index = _load_uniform_corpus(
+                dataset.store, dataset.keys)
+            corpora = {"gt": clips}
+            geoms = {"gt": (dataset.crop_size, 1)}
+
         # assembled on the process's default device; the model's
         # prepare_training_data then device_puts to its dp sharding (a
         # no-op on one chip, an on-fabric scatter on a mesh — never a
         # host->device transfer). A natively-sharded multi-chip variant
         # (clips replicated, gather partitioned) is a straightforward
         # extension once a real multi-chip host exists to measure it on.
-        self._clips = jax.device_put(clips)
-        self._maps = jax.device_put(dihedral_maps(dataset.crop_size))
+        self._clips = {k: jax.device_put(v) for k, v in corpora.items()}
+        self._maps = {k: jax.device_put(dihedral_maps(csz))
+                      for k, (csz, _s) in geoms.items()}
+        scales = {k: s for k, (_c, s) in geoms.items()}
 
-        def assemble_one(clips_d, maps_d, ci, f_idx, tops, lefts, aug):
+        def assemble_one(clips_d, maps_d, s, ci, f_idx, tops, lefts, aug):
             frames = jnp.take(clips_d, ci, axis=0)  # (T, H, W, C)
             fr = jnp.take(frames, f_idx, axis=0)    # (t, H, W, C)
             m = jnp.take(maps_d, aug, axis=0)       # (csz, csz, 2)
-            rows = tops[:, None, None] + m[..., 0]
-            cols = lefts[:, None, None] + m[..., 1]
+            rows = s * tops[:, None, None] + m[..., 0]
+            cols = s * lefts[:, None, None] + m[..., 1]
             tt = jnp.arange(f_idx.shape[0])[:, None, None]
             return fr[tt, rows, cols]               # (t, csz, csz, C)
 
         def assemble(clips_d, maps_d, plans):
-            return {"gt": jax.vmap(
-                lambda p: assemble_one(clips_d, maps_d, p["ci"], p["f_idx"],
-                                       p["tops"], p["lefts"], p["aug"])
-            )(plans)}
+            return {
+                k: jax.vmap(
+                    lambda p, k=k: assemble_one(
+                        clips_d[k], maps_d[k], scales[k], p["ci"],
+                        p["f_idx"], p["tops"], p["lefts"], p["aug"])
+                )(plans)
+                for k in clips_d
+            }
 
         self._assemble = jax.jit(assemble)
 

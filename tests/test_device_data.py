@@ -84,6 +84,37 @@ def test_device_loader_matches_host_loader(uniform_records):
             np.testing.assert_array_equal(got, h["gt"])
 
 
+@pytest.fixture
+def paired_records(tmp_path, rng):
+    gt_dir, lr_dir = str(tmp_path / "GT4.rec"), str(tmp_path / "LR.rec")
+    wg, wl = RecordWriter(gt_dir), RecordWriter(lr_dir)
+    for i in range(3):
+        gt = (rng.random((5, 112, 128, 3)) * 255).astype(np.uint8)
+        lr = (rng.random((5, 28, 32, 3)) * 255).astype(np.uint8)
+        wg.add_sequence(f"vid{i}", gt)
+        wl.add_sequence(f"vid{i}", lr)
+    wg.close()
+    wl.close()
+    return gt_dir, lr_dir
+
+
+def test_paired_device_loader_matches_host_loader(paired_records):
+    """BI path: both stores resident; gt AND lr batches bit-identical to
+    the host loader's (incl. the LR-unit moving walk and paired aug)."""
+    from tecogan_tpu.data import PairedClipDataset
+    from tecogan_tpu.data.device_data import DeviceResidentLoader
+
+    gt_dir, lr_dir = paired_records
+    ds = PairedClipDataset(gt_dir, lr_dir, scale=4, gt_crop_size=32,
+                           tempo_extent=4, moving_first_frame=True,
+                           moving_factor=0.5, output_dtype=np.uint8)
+    host = TrainLoader(ds, batch_size=4, seed=5, num_workers=2)
+    dev = DeviceResidentLoader(ds, batch_size=4, seed=5)
+    for h, d in zip(host.epoch(0), dev.epoch(0)):
+        np.testing.assert_array_equal(np.asarray(d["gt"]), h["gt"])
+        np.testing.assert_array_equal(np.asarray(d["lr"]), h["lr"])
+
+
 def test_device_loader_rejects_mixed_geometry(mixed_records):
     from tecogan_tpu.data.device_data import DeviceResidentLoader
 
@@ -112,9 +143,16 @@ def test_factory_knob(uniform_records):
     # BD crop enlargement: 16 + 2*int(3*1.5) = 24
     assert np.asarray(batch["gt"]).shape == (2, 3, 24, 24, 3)
 
-    opt["dataset"]["degradation"] = {"type": "BI"}
-    opt["dataset"]["train"]["gt_seq_dir"] = uniform_records
-    opt["dataset"]["train"]["lr_seq_dir"] = uniform_records
-    opt["dataset"]["train"]["gt_crop_size"] = 16
-    with pytest.raises(ValueError, match="BD"):
-        create_dataloader(opt, "train", "train", n_devices=1)
+
+def test_paired_plan_assemble_equals_getitem(paired_records):
+    from tecogan_tpu.data import PairedClipDataset
+
+    gt_dir, lr_dir = paired_records
+    ds = PairedClipDataset(gt_dir, lr_dir, scale=4, gt_crop_size=32,
+                           tempo_extent=4, moving_first_frame=True,
+                           moving_factor=0.5, output_dtype=np.uint8)
+    for i in range(len(ds)):
+        a = ds.assemble(ds.sample_plan(i, np.random.default_rng((9, i))))
+        b = ds[(i, np.random.default_rng((9, i)))]
+        np.testing.assert_array_equal(a["gt"], b["gt"])
+        np.testing.assert_array_equal(a["lr"], b["lr"])
