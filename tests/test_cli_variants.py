@@ -133,8 +133,10 @@ def test_cli_reds_style_filters(tmp_path, rng):
     assert names == ["seq_b", "seq_c"]
 
 
-def test_cli_bi_paired_train(tmp_path, rng):
-    """BI degradation end to end: paired GT+LR records, gt_crop_size."""
+@pytest.mark.parametrize("device_resident", [False, True])
+def test_cli_bi_paired_train(tmp_path, rng, device_resident):
+    """BI degradation end to end: paired GT+LR records, gt_crop_size —
+    with both the host-streamed and the device-resident input paths."""
     from tecogan_tpu.main import main
     from tecogan_tpu.ops.degrade import imresize_matlab
 
@@ -170,7 +172,8 @@ def test_cli_bi_paired_train(tmp_path, rng):
             "train": {"name": "Train", "gt_seq_dir": gt_rec,
                       "lr_seq_dir": lr_rec, "data_type": "rgb",
                       "gt_crop_size": 32, "batch_size_per_gpu": 1,
-                      "num_worker_per_gpu": 1, "pin_memory": True},
+                      "num_worker_per_gpu": 1, "pin_memory": True,
+                      "device_resident": device_resident},
             "test": {"name": "Val", "gt_seq_dir": gt_root,
                      "lr_seq_dir": lr_root},
         },
