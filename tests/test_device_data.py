@@ -144,6 +144,28 @@ def test_factory_knob(uniform_records):
     assert np.asarray(batch["gt"]).shape == (2, 3, 24, 24, 3)
 
 
+def test_device_batch_reshards_to_dp_mesh(uniform_records):
+    """A device-born batch device_puts onto a multi-device dp sharding
+    (the prepare_training_data path) without a host round-trip and with
+    values intact."""
+    import jax
+
+    from tecogan_tpu.data.device_data import DeviceResidentLoader
+    from tecogan_tpu.parallel import batch_sharding, get_mesh
+
+    ds = _dataset(uniform_records)
+    dev = DeviceResidentLoader(ds, batch_size=8, seed=2)
+    host = TrainLoader(ds, batch_size=8, seed=2, num_workers=2)
+    mesh = get_mesh()
+    assert mesh.devices.size == 8  # conftest's virtual CPU mesh
+    sh = batch_sharding(mesh)
+    d = next(iter(dev.epoch(0)))
+    h = next(iter(host.epoch(0)))
+    out = jax.device_put(d["gt"], sh)
+    assert out.sharding == sh
+    np.testing.assert_array_equal(np.asarray(out), h["gt"])
+
+
 def test_paired_plan_assemble_equals_getitem(paired_records):
     from tecogan_tpu.data import PairedClipDataset
 

@@ -37,6 +37,10 @@ def cfg_params():
     return cfg, init_frnet(jax.random.PRNGKey(7), cfg)
 
 
+@pytest.mark.skipif(jax.default_backend() == "tpu",
+                    reason="pins the CPU gather path bit-exactly; TPU fp32 "
+                           "convs differ in ulps (band-tested separately by "
+                           "test_flagship_fast_path_matches_committed_corpus)")
 @pytest.mark.parametrize("si", [0, 1])
 def test_fp32_outputs_bitexact(golden, cfg_params, si):
     cfg, params = cfg_params
@@ -89,6 +93,10 @@ def flagship():
     return np.load(_FLAGSHIP)
 
 
+@pytest.mark.skipif(jax.default_backend() == "tpu",
+                    reason="pins the CPU gather path bit-exactly; TPU fp32 "
+                           "convs differ in ulps (band-tested separately by "
+                           "test_flagship_fast_path_matches_committed_corpus)")
 @pytest.mark.parametrize("scale", [4, 2])
 def test_flagship_fp32_outputs_bitexact(flagship, scale):
     """The SHIPPED geometry (nf=64, nb=10) pinned exactly on the CPU
