@@ -25,6 +25,14 @@ Stages (each resumable, state under --workdir):
   eval   : test-mode inference for both models + bicubic baseline,
            official metrics CSVs, summary JSON
 Run with no stage argument to do everything.
+
+--degradation selects the reference's two data recipes
+(`codes/utils/data_utils.py:30-53` BD blur+stride vs the Matlab bicubic BI
+of `scripts/generate_lr_bi.m`): BD trains from GT-only records with
+on-device degradation; BI writes paired GT+LR records (LR via the
+Matlab-imresize port, same operator as `scripts/generate_lr_bi.py`) and
+held-out LR trees, exercising the paired dataset + bilinear-residual
+generator path end to end.
 """
 
 import argparse
@@ -91,32 +99,58 @@ def synth_clip(rng, t, h, w, max_vel=2.5):
     return np.stack(frames)
 
 
+def _bi_lr(clip, scale=4):
+    """Matlab-imresize bicubic LR of a (t, h, w, 3) uint8 clip, uint8."""
+    import jax.numpy as jnp
+
+    from tecogan_tpu.ops.degrade import imresize_matlab
+
+    lr = imresize_matlab(jnp.asarray(clip, jnp.float32) / 255.0, 1 / scale)
+    return np.asarray(jnp.clip(jnp.round(lr * 255.0), 0, 255)).astype(
+        np.uint8)
+
+
 def stage_data(wd, n_train=64, t_train=16, hw_train=(192, 192),
-               n_test=4, t_test=30, hw_test=(256, 448), seed=0):
+               n_test=4, t_test=30, hw_test=(256, 448), seed=0,
+               degradation="BD"):
     from tecogan_tpu.data.records import RecordWriter
 
     rec_dir = osp.join(wd, "data", "GT.rec")
+    lr_rec_dir = osp.join(wd, "data", "LR.rec")
     if osp.exists(osp.join(rec_dir, "index.json")):
         print(f"[data] {rec_dir} exists, skipping")
     else:
         rng = np.random.default_rng(seed)
         writer = RecordWriter(rec_dir)
+        lr_writer = RecordWriter(lr_rec_dir) if degradation == "BI" else None
         for i in range(n_train):
-            writer.add_sequence(f"clip{i:03d}",
-                                synth_clip(rng, t_train, *hw_train))
+            clip = synth_clip(rng, t_train, *hw_train)
+            writer.add_sequence(f"clip{i:03d}", clip)
+            if lr_writer is not None:
+                lr_writer.add_sequence(f"clip{i:03d}", _bi_lr(clip))
         writer.close()
+        if lr_writer is not None:
+            lr_writer.close()
         print(f"[data] wrote {n_train} train clips -> {rec_dir}")
 
     gt_dir = osp.join(wd, "data", "test_GT")
+    lr_dir = osp.join(wd, "data", "test_LR")
     rng = np.random.default_rng(seed + 1)
     for i in range(n_test):
         seq_dir = osp.join(gt_dir, f"held{i:02d}")
         clip = synth_clip(rng, t_test, *hw_test)  # keep rng stream aligned
-        if osp.exists(seq_dir):
-            continue
-        os.makedirs(seq_dir)
-        for fi, frame in enumerate(clip):
-            cv2.imwrite(osp.join(seq_dir, f"{fi:04d}.png"), frame[..., ::-1])
+        if not osp.exists(seq_dir):
+            os.makedirs(seq_dir)
+            for fi, frame in enumerate(clip):
+                cv2.imwrite(osp.join(seq_dir, f"{fi:04d}.png"),
+                            frame[..., ::-1])
+        if degradation == "BI":
+            lr_seq_dir = osp.join(lr_dir, f"held{i:02d}")
+            if not osp.exists(lr_seq_dir):
+                os.makedirs(lr_seq_dir)
+                for fi, frame in enumerate(_bi_lr(clip)):
+                    cv2.imwrite(osp.join(lr_seq_dir, f"{fi:04d}.png"),
+                                frame[..., ::-1])
     print(f"[data] held-out GT -> {gt_dir}")
     return rec_dir, gt_dir
 
@@ -126,16 +160,26 @@ def stage_data(wd, n_train=64, t_train=16, hw_train=(192, 192),
 # --------------------------------------------------------------------------
 
 def _base_opt(wd, model_block, train_block, total_iter, test_freq,
-              ckpt_freq, crop=128, tempo=10):
+              ckpt_freq, crop=128, tempo=10, degradation="BD"):
     rec_dir = osp.join(wd, "data", "GT.rec")
     gt_dir = osp.join(wd, "data", "test_GT")
+    if degradation == "BI":
+        degr_block = {"type": "BI"}
+        train_ds = {"gt_seq_dir": rec_dir,
+                    "lr_seq_dir": osp.join(wd, "data", "LR.rec"),
+                    "gt_crop_size": crop}
+        test_lr = osp.join(wd, "data", "test_LR")
+    else:
+        degr_block = {"type": "BD", "sigma": 1.5}
+        train_ds = {"seq_dir": rec_dir, "crop_size": crop}
+        test_lr = None
     return {
         "scale": 4, "manual_seed": 0, "verbose": False,
         "dataset": {
-            "degradation": {"type": "BD", "sigma": 1.5},
+            "degradation": degr_block,
             "train": {
                 "name": "SynthParallax", "filter_file": None,
-                "seq_dir": rec_dir, "crop_size": crop, "data_type": "rgb",
+                "data_type": "rgb", **train_ds,
                 "batch_size_per_gpu": 4, "num_worker_per_gpu": 3,
                 "pin_memory": True,
                 # the synthetic corpus is ~113 MB: keep it in HBM and
@@ -144,7 +188,7 @@ def _base_opt(wd, model_block, train_block, total_iter, test_freq,
             },
             "test": {
                 "name": "SynthHeldout", "gt_seq_dir": gt_dir,
-                "lr_seq_dir": None, "filter_file": None,
+                "lr_seq_dir": test_lr, "filter_file": None,
                 "num_worker_per_gpu": 3, "pin_memory": True,
             },
         },
@@ -183,7 +227,7 @@ def _run_cli(exp_dir, opt, mode):
                        check=True)
 
 
-def stage_frvsr(wd, total_iter, nf=64, nb=10):
+def stage_frvsr(wd, total_iter, nf=64, nb=10, degradation="BD"):
     exp_dir = osp.join(wd, "FRVSR_Synth_4xSR")
     model = {"name": "FRVSR",
              "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
@@ -198,12 +242,14 @@ def stage_frvsr(wd, total_iter, nf=64, nb=10):
     opt = _base_opt(wd, model, train, total_iter,
                     test_freq=max(total_iter // 8, 1),
                     ckpt_freq=max(total_iter // 4, 1),
-                    crop=GEOM["crop"], tempo=GEOM["tempo"])
+                    crop=GEOM["crop"], tempo=GEOM["tempo"],
+                    degradation=degradation)
     _run_cli(exp_dir, opt, "train")
     return osp.join(exp_dir, "train", "ckpt", f"G_iter{total_iter}.npz")
 
 
-def stage_tecogan(wd, frvsr_ckpt, total_iter, nf=64, nb=10):
+def stage_tecogan(wd, frvsr_ckpt, total_iter, nf=64, nb=10,
+                  degradation="BD"):
     exp_dir = osp.join(wd, "TecoGAN_Synth_4xSR")
     model = {"name": "TecoGAN",
              "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
@@ -227,7 +273,8 @@ def stage_tecogan(wd, frvsr_ckpt, total_iter, nf=64, nb=10):
     opt = _base_opt(wd, model, train, total_iter,
                     test_freq=max(total_iter // 6, 1),
                     ckpt_freq=max(total_iter // 3, 1),
-                    crop=GEOM["crop"], tempo=GEOM["tempo"])
+                    crop=GEOM["crop"], tempo=GEOM["tempo"],
+                    degradation=degradation)
     _run_cli(exp_dir, opt, "train")
     return osp.join(exp_dir, "train", "ckpt", f"G_iter{total_iter}.npz")
 
@@ -236,11 +283,13 @@ def stage_tecogan(wd, frvsr_ckpt, total_iter, nf=64, nb=10):
 # evaluation
 # --------------------------------------------------------------------------
 
-def _bicubic_baseline(wd):
-    """BD-degrade each held-out GT, bicubic-upsample back, save PNGs."""
+def _bicubic_baseline(wd, degradation="BD"):
+    """Degrade each held-out GT (BD blur+stride or Matlab BI bicubic),
+    bicubic-upsample back, save PNGs — the no-model reference point."""
     import jax.numpy as jnp
 
     from tecogan_tpu.ops import downsample_bd
+    from tecogan_tpu.ops.degrade import imresize_matlab
     from tecogan_tpu.ops.resize import apply_separable, resize_matrix
 
     gt_dir = osp.join(wd, "data", "test_GT")
@@ -255,22 +304,33 @@ def _bicubic_baseline(wd):
         for fn in sorted(os.listdir(seq_dir)):
             frames.append(cv2.imread(osp.join(seq_dir, fn))[..., ::-1])
         gt = jnp.asarray(np.stack(frames), jnp.float32) / 255.0
-        lr = downsample_bd(gt, 4, sigma=1.5, pad_data=True)
-        mh = resize_matrix("tecogan_bicubic", lr.shape[-3], scale=4)
-        mw = resize_matrix("tecogan_bicubic", lr.shape[-2], scale=4)
-        sr = np.asarray(jnp.clip(apply_separable(lr, mh, mw), 0.0, 1.0))
+        if degradation == "BI":
+            lr = imresize_matlab(gt, 1 / 4)
+            sr = np.asarray(jnp.clip(imresize_matlab(lr, 4.0), 0.0, 1.0))
+        else:
+            lr = downsample_bd(gt, 4, sigma=1.5, pad_data=True)
+            mh = resize_matrix("tecogan_bicubic", lr.shape[-3], scale=4)
+            mw = resize_matrix("tecogan_bicubic", lr.shape[-2], scale=4)
+            sr = np.asarray(jnp.clip(apply_separable(lr, mh, mw), 0.0, 1.0))
         for fi, fr in enumerate((sr * 255.0).round().astype(np.uint8)):
             cv2.imwrite(osp.join(out_dir, f"{fi:04d}.png"), fr[..., ::-1])
     return out_root
 
 
-def _test_model(wd, name, ckpt, nf=64, nb=10):
+def _test_model(wd, name, ckpt, nf=64, nb=10, degradation="BD"):
     exp_dir = osp.join(wd, "eval", name)
     gt_dir = osp.join(wd, "data", "test_GT")
+    if degradation == "BI":
+        degr_block = {"type": "BI"}
+        test_ds = {"gt_seq_dir": gt_dir,
+                   "lr_seq_dir": osp.join(wd, "data", "test_LR")}
+    else:
+        degr_block = {"type": "BD", "sigma": 1.5}
+        test_ds = {"gt_seq_dir": gt_dir}
     opt = {
         "scale": 4, "manual_seed": 0, "is_train": False,
-        "dataset": {"degradation": {"type": "BD", "sigma": 1.5},
-                    "test1": {"name": "SynthHeldout", "gt_seq_dir": gt_dir,
+        "dataset": {"degradation": degr_block,
+                    "test1": {"name": "SynthHeldout", **test_ds,
                               "filter_file": None}},
         "model": {"name": "FRVSR",
                   "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
@@ -314,14 +374,16 @@ def _official_metrics(wd, tag, res_root):
     return summary
 
 
-def stage_eval(wd, frvsr_iter, tecogan_iter, nf=64, nb=10):
+def stage_eval(wd, frvsr_iter, tecogan_iter, nf=64, nb=10,
+               degradation="BD"):
     summary = {}
-    bicubic_root = _bicubic_baseline(wd)
+    bicubic_root = _bicubic_baseline(wd, degradation=degradation)
     summary["bicubic"] = _official_metrics(wd, "bicubic", bicubic_root)
     for name, it in (("FRVSR_Synth_4xSR", frvsr_iter),
                      ("TecoGAN_Synth_4xSR", tecogan_iter)):
         ckpt = osp.join(wd, name, "train", "ckpt", f"G_iter{it}.npz")
-        res_root = _test_model(wd, name, ckpt, nf=nf, nb=nb)
+        res_root = _test_model(wd, name, ckpt, nf=nf, nb=nb,
+                               degradation=degradation)
         summary[name] = _official_metrics(wd, name, res_root)
     out = osp.join(wd, "eval", "summary.json")
     with open(out, "w") as f:
@@ -339,8 +401,13 @@ def main():
     ap.add_argument("--tecogan_iter", type=int, default=15000)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny geometry + data for a CPU pipeline check")
+    ap.add_argument("--degradation", default="BD", choices=["BD", "BI"],
+                    help="BD: GT-only records + on-device blur/stride; "
+                         "BI: paired GT+LR records (Matlab bicubic)")
     args = ap.parse_args()
     wd = args.workdir
+    if args.degradation == "BI" and wd == ap.get_default("workdir"):
+        wd += "_bi"  # keep the two corpora from colliding
     os.makedirs(wd, exist_ok=True)
 
     nf, nb = 64, 10
@@ -353,18 +420,22 @@ def main():
     if args.stage in ("all", "data"):
         if args.smoke:
             stage_data(wd, n_train=6, t_train=8, hw_train=(96, 96),
-                       n_test=2, t_test=10, hw_test=(96, 128))
+                       n_test=2, t_test=10, hw_test=(96, 128),
+                       degradation=args.degradation)
         else:
-            stage_data(wd)
+            stage_data(wd, degradation=args.degradation)
     if args.stage in ("all", "frvsr"):
-        stage_frvsr(wd, args.frvsr_iter, nf=nf, nb=nb)
+        stage_frvsr(wd, args.frvsr_iter, nf=nf, nb=nb,
+                    degradation=args.degradation)
     if args.stage in ("all", "tecogan"):
         frvsr_ckpt = osp.join(wd, "FRVSR_Synth_4xSR", "train", "ckpt",
                               f"G_iter{args.frvsr_iter}.npz")
         assert osp.exists(frvsr_ckpt), frvsr_ckpt
-        stage_tecogan(wd, frvsr_ckpt, args.tecogan_iter, nf=nf, nb=nb)
+        stage_tecogan(wd, frvsr_ckpt, args.tecogan_iter, nf=nf, nb=nb,
+                      degradation=args.degradation)
     if args.stage in ("all", "eval"):
-        stage_eval(wd, args.frvsr_iter, args.tecogan_iter, nf=nf, nb=nb)
+        stage_eval(wd, args.frvsr_iter, args.tecogan_iter, nf=nf, nb=nb,
+                   degradation=args.degradation)
 
 
 if __name__ == "__main__":

@@ -61,6 +61,36 @@ def test_campaign_config_feeds_real_loader(campaign, tmp_path):
     assert batch["gt"].dtype == np.uint8
 
 
+def test_campaign_bi_config_feeds_real_loader(campaign, tmp_path):
+    """The BI leg writes paired GT+LR records whose generated opt drives
+    the REAL paired dataset/loader factory with scale-locked shapes."""
+    wd = str(tmp_path)
+    campaign.stage_data(wd, n_train=2, t_train=6, hw_train=(72, 72),
+                        n_test=1, t_test=6, hw_test=(64, 64),
+                        degradation="BI")
+    assert osp.exists(osp.join(wd, "data", "LR.rec", "index.json"))
+    assert osp.exists(osp.join(wd, "data", "test_LR", "held00",
+                               "0000.png"))
+    model = {"name": "FRVSR",
+             "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
+                           "nf": 8, "nb": 2}}
+    train = {"generator": {"lr": 1e-4,
+                           "lr_schedule": {"type": "FixedLR"},
+                           "betas": [0.9, 0.999]}}
+    opt = campaign._base_opt(wd, model, train, total_iter=2, test_freq=2,
+                             ckpt_freq=2, crop=32, tempo=3,
+                             degradation="BI")
+
+    from tecogan_tpu.data import create_dataloader
+
+    loader = create_dataloader(opt, "train", "train", n_devices=1)
+    batch = next(iter(loader))
+    # paired: no BD crop enlargement; LR locked to gt_crop/scale
+    assert batch["gt"].shape == (4, 3, 32, 32, 3)
+    assert batch["lr"].shape == (4, 3, 8, 8, 3)
+    assert batch["gt"].dtype == np.uint8
+
+
 def test_official_metrics_summary_parsing(campaign):
     import re
 
