@@ -547,6 +547,7 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
                          chunk: int = 16, fold_streams: bool | None = None,
                          pair_streams: bool | None = None,
                          packed4: bool | None = None,
+                         tail_order: str = "u8_d2s",
                          _fold_interpret: bool = False) -> jnp.ndarray:
     """SR a BATCH of LR sequences: (n, t, h, w, c) -> uint8 (n, t, sh, sw, c).
 
@@ -733,16 +734,36 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
             else:
                 hr_i_pk = _sr_step_p2(cfg, params["srnet"], lr_i,
                                       hr_prev_pk, flow_i, False)
-            return hr_i_pk, hr_i_pk
+            if tail_order == "step_u8":
+                # quantise in the step epilogue: the scan's stacked output
+                # buffer is written once as uint8 (1 B/elem) instead of
+                # bf16 + a separate quantise pass
+                out_i = jnp.clip(
+                    jnp.round(hr_i_pk.astype(jnp.float32) * 255.0), 0, 255
+                ).astype(jnp.uint8)
+            else:
+                out_i = hr_i_pk
+            return hr_i_pk, out_i
 
-        _, hr_chunk_pk = jax.lax.scan(inner, hr_prev0_pk,
-                                      (lr_chunk, hr_flow))
-        # quantise in the packed layout; interleave as uint8
-        out_pk = jnp.clip(
-            jnp.round(hr_chunk_pk.astype(jnp.float32) * 255.0), 0, 255
-        ).astype(jnp.uint8)
-        out = depth_to_space(out_pk, 4 if packed4 else 2)
-        return (lr_chunk[-1], hr_chunk_pk[-1]), out
+        hr_pk_last, hr_chunk_pk = jax.lax.scan(inner, hr_prev0_pk,
+                                               (lr_chunk, hr_flow))
+        blk = 4 if packed4 else 2
+        if tail_order == "step_u8":
+            out = depth_to_space(hr_chunk_pk, blk)
+        elif tail_order == "d2s_quant":
+            # interleave in the compute dtype, quantise after: XLA fuses
+            # the transpose into the quantise consumer — one pass reading
+            # packed bf16, writing interleaved uint8
+            out = jnp.clip(
+                jnp.round(depth_to_space(hr_chunk_pk, blk)
+                          .astype(jnp.float32) * 255.0), 0, 255
+            ).astype(jnp.uint8)
+        else:  # "u8_d2s" — quantise in the packed layout; interleave uint8
+            out_pk = jnp.clip(
+                jnp.round(hr_chunk_pk.astype(jnp.float32) * 255.0), 0, 255
+            ).astype(jnp.uint8)
+            out = depth_to_space(out_pk, blk)
+        return (lr_chunk[-1], hr_pk_last), out
 
     if use_p16:
         carry0 = (

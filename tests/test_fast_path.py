@@ -269,3 +269,24 @@ def test_infer_sequence_batch_paired_matches_unpaired(rng, scale):
                   - np.asarray(ref).astype(np.int32))
     assert diff.max() <= 1, diff.max()
     assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
+
+
+@pytest.mark.parametrize("order", ["step_u8", "d2s_quant"])
+def test_infer_tail_orders_bitexact(rng, order):
+    """The three output-tail formulations (quantise-then-interleave,
+    quantise-in-step, interleave-then-quantise) are pure reorderings of a
+    permutation and an elementwise quantise — outputs must be IDENTICAL.
+    The knob exists so the serving tail can be traced/benched per order
+    on hardware (the uint8 interleave is the last structurally
+    attackable copy bucket, PARITY.md round-3 inference audit)."""
+    from tecogan_tpu.models.networks import (
+        FRNetConfig, infer_sequence_batch, init_frnet)
+
+    cfg = FRNetConfig(nf=8, nb=2, scale=4, degradation="BD",
+                      compute_dtype="float32", pallas_warp=False)
+    params = init_frnet(jax.random.PRNGKey(9), cfg)
+    lr = jnp.asarray(rng.random((2, 5, 16, 24, 3)), jnp.float32)
+
+    ref = infer_sequence_batch(params, lr, cfg, chunk=3)
+    got = infer_sequence_batch(params, lr, cfg, chunk=3, tail_order=order)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
