@@ -571,6 +571,12 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
     n, t, h, w, c = lr_seqs.shape
     s = cfg.scale
 
+    if tail_order not in ("u8_d2s", "step_u8", "d2s_quant"):
+        # the knob exists to A/B exact tail formulations on hardware — a
+        # typo silently measuring the default would be misattributed
+        raise ValueError(f"unknown tail_order {tail_order!r}; expected "
+                         f"'u8_d2s', 'step_u8' or 'd2s_quant'")
+
     dt = jnp.dtype(cfg.compute_dtype)
     if dt != lr_seqs.dtype:
         from ... import nn
@@ -602,7 +608,6 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
                lr_seqs.dtype.itemsize <= 13 * 2 ** 20)
     use_pallas = _pallas_ok(cfg, cfg.out_nc, s * h, s * w)
 
-    g_rows, ph, band = _fold_geometry(s, h)
     if fold_streams is None:
         # MEASURED SLOWER at the serving shape (238 vs 287 aggregate FPS,
         # 4x134x320 bf16): the suspected n>1 relayouts turned out to be
@@ -616,6 +621,7 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
                              or jax.default_backend() == "tpu"):
         fold_streams = False  # banded warp needs the kernel (or interpret)
     if fold_streams:
+        _g_rows, ph, band = _fold_geometry(s, h)
         masks = _fold_masks(s, n, h, ph, band)
         mh_fold = _fold_residual_mh(cfg, n, h, ph)
         w2 = s * w // 2
@@ -691,7 +697,10 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
         # block-diagonal pairing recoups almost nothing. Kept opt-in as
         # an exact, tested layout experiment (PARITY.md round 3).
         pair_streams = False
-    if pair_streams and n % 2:
+    # the paired trunk's planes warp is the Pallas kernel with whole-image
+    # BlockSpecs — gate exactly like packed4 (TPU + VMEM budget, or
+    # interpret) instead of crashing at lowering off-TPU / past-VMEM
+    if pair_streams and (n % 2 or not (use_pallas or _fold_interpret)):
         pair_streams = False
     paired_params = None
     if pair_streams:

@@ -290,3 +290,33 @@ def test_infer_tail_orders_bitexact(rng, order):
     ref = infer_sequence_batch(params, lr, cfg, chunk=3)
     got = infer_sequence_batch(params, lr, cfg, chunk=3, tail_order=order)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_infer_tail_order_unknown_rejected(rng):
+    from tecogan_tpu.models.networks import (
+        FRNetConfig, infer_sequence_batch, init_frnet)
+
+    cfg = FRNetConfig(nf=8, nb=2, scale=4, degradation="BD",
+                      compute_dtype="float32", pallas_warp=False)
+    params = init_frnet(jax.random.PRNGKey(9), cfg)
+    lr = jnp.asarray(rng.random((1, 3, 16, 24, 3)), jnp.float32)
+    with pytest.raises(ValueError, match="tail_order"):
+        infer_sequence_batch(params, lr, cfg, chunk=3,
+                             tail_order="d2s_quantise")
+
+
+def test_pair_streams_falls_back_off_tpu(rng):
+    """pair_streams' planes warp is the Pallas kernel; off-TPU (no
+    interpret) the knob must silently fall back to the default path —
+    same policy as fold_streams/packed4 — instead of failing at Pallas
+    lowering."""
+    from tecogan_tpu.models.networks import (
+        FRNetConfig, infer_sequence_batch, init_frnet)
+
+    cfg = FRNetConfig(nf=8, nb=2, scale=4, degradation="BD",
+                      compute_dtype="float32", pallas_warp=True)
+    params = init_frnet(jax.random.PRNGKey(9), cfg)
+    lr = jnp.asarray(rng.random((2, 3, 16, 24, 3)), jnp.float32)
+    ref = infer_sequence_batch(params, lr, cfg, chunk=3)
+    got = infer_sequence_batch(params, lr, cfg, chunk=3, pair_streams=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
