@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import downsample_bd
-from ..parallel import batch_sharding, get_mesh, replicated
+from ..parallel import batch_sharding, get_mesh, put_global, replicated
 from ..utils import ckpt as ckpt_io
 from ..utils.logging_utils import format_train_msg, log_info
 
@@ -60,9 +60,14 @@ class BaseVSRModel:
 
     # ------------------------------------------------------------------ data
     def prepare_training_data(self, batch):
-        """Host batch {'gt': (n,t,H,W,c) float32 [, 'lr']} -> sharded device."""
+        """Host batch {'gt': (n,t,H,W,c) float32 [, 'lr']} -> sharded device.
+
+        Every process holds the identically-assembled GLOBAL batch (the
+        loaders seed per-sample RNG streams by (seed, epoch, i)); put_global
+        places each process's shard rows without any cross-process traffic.
+        """
         sh = batch_sharding(self.mesh)
-        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+        return {k: put_global(v, sh) for k, v in batch.items()}
 
     def prepare_inference_data(self, data):
         """Sequence dict -> LR float32 (t, h, w, c) ndarray.
@@ -97,7 +102,7 @@ class BaseVSRModel:
 
     # ----------------------------------------------------------------- state
     def replicate(self, tree):
-        return jax.device_put(tree, replicated(self.mesh))
+        return put_global(tree, replicated(self.mesh))
 
     # ------------------------------------------------------------------ logs
     def get_running_log(self, state):

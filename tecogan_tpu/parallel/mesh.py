@@ -26,6 +26,7 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_batch",
+    "put_global",
     "maybe_init_distributed",
 ]
 
@@ -66,6 +67,22 @@ def maybe_init_distributed():
             raise
     _DIST_INITIALISED = True
 
+    if jax.process_count() > 1:
+        # Establish the cross-process collective fabric NOW, while every
+        # rank is still coordinator-synchronised (initialize is a cluster
+        # barrier). The first collective creates the backend communicator
+        # via a key-value rendezvous with a short (~30 s) timeout; if it
+        # is instead created lazily at the first training step, ranks can
+        # arrive minutes apart (XLA compile skew) and the rendezvous
+        # deadlocks (observed on 2-process CPU/Gloo meshes:
+        # GetKeyValue/pair-connect DEADLINE_EXCEEDED). Once the clique
+        # communicator exists, later collectives of any size reuse it and
+        # tolerate arbitrary arrival skew (verified: 150 s skew absorbed
+        # after warmup; 30 s skew fatal without).
+        from jax.experimental import multihost_utils
+
+        multihost_utils.process_allgather(np.zeros(1, np.int32))
+
 
 def get_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """1-D data-parallel mesh over the first ``n_devices`` devices."""
@@ -97,7 +114,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(tree, sharding: NamedSharding):
+    """Place host values onto a (possibly multi-process) sharding WITHOUT
+    collectives: every process hands over its addressable shards via
+    ``jax.make_array_from_callback``.
+
+    Rationale: in multi-controller JAX, ``jax.device_put`` of an
+    uncommitted host value onto a sharding spanning all processes first
+    runs ``multihost_utils.assert_equal`` — a per-leaf process_allgather
+    of the whole value (jax dispatch.py `_device_put_sharding_impl`).
+    For us that is (a) pure overhead — a full gather of params+optimizer
+    state at init and of EVERY training batch each step, all values our
+    callers already construct identically on each process (same-seed
+    init, same checkpoint bytes, same global-batch assembly) — and
+    (b) fragile: the per-leaf allgathers enqueue many concurrent Gloo
+    context creations whose key rendezvous was observed to deadlock
+    (GetKeyValue/pair-connect 30 s timeouts) on 2-process CPU meshes.
+    The callback construction has no cross-process traffic at all.
+
+    Single-process: plain ``device_put`` (keeps committed/device-resident
+    inputs resharding exactly as before).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return jax.device_put(x, sharding)  # already a global array
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
+
+
 def shard_batch(mesh: Mesh, tree):
     """Device-put a host batch pytree with the batch axis sharded over dp."""
-    s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+    return put_global(tree, batch_sharding(mesh))

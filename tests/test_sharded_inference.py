@@ -30,3 +30,26 @@ def test_dp_sharded_batch_inference(rng):
             jax.device_get(params), jnp.asarray(lr[i]), cfg, chunk=5))
         diff = np.abs(out[i].astype(np.int32) - single.astype(np.int32))
         assert diff.max() <= 1 and (diff > 0).mean() < 0.01
+
+
+def test_put_global_matches_device_put_single_process(rng):
+    """put_global (the collective-free multi-controller placement used by
+    BaseModel.replicate / prepare_training_data) must be value- and
+    sharding-identical to plain device_put. Its multi-process behaviour
+    (per-process local-shard handover, no assert_equal allgather) is
+    exercised for real by tests/test_multihost.py::test_two_process_mini_train."""
+    from tecogan_tpu.parallel import put_global
+
+    mesh = get_mesh()
+    tree = {"a": np.asarray(rng.random((8, 3, 4)), np.float32),
+            "b": {"w": np.asarray(rng.random((8, 5)), np.float32)}}
+    # scalar leaves (e.g. the step counter) only appear under the
+    # replicated sharding — P('dp') on rank-0 is invalid for device_put too
+    for sh, t in ((batch_sharding(mesh), tree),
+                  (replicated(mesh), {**tree, "step": np.int32(7)})):
+        got = put_global(t, sh)
+        ref = jax.tree.map(lambda x: jax.device_put(x, sh), t)
+        jax.tree.map(
+            lambda g, r: np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(r)), got, ref)
+        assert got["a"].sharding == sh
