@@ -134,9 +134,24 @@ def put_global(tree, sharding: NamedSharding):
 
     Single-process: plain ``device_put`` (keeps committed/device-resident
     inputs resharding exactly as before).
+
+    Contract: multi-process callers must construct the same host values on
+    every process (our loaders derive every random decision from
+    (seed, epoch, i) streams, so they do). Set TECOGAN_VERIFY_GLOBAL=1 to
+    re-enable the cross-process equality check when debugging a custom
+    loader — it is a full allgather of the tree per call, so leave it off
+    in production.
     """
     if jax.process_count() == 1:
         return jax.device_put(tree, sharding)
+
+    if os.environ.get("TECOGAN_VERIFY_GLOBAL") == "1":
+        from jax.experimental import multihost_utils
+
+        multihost_utils.assert_equal(
+            jax.tree.map(np.asarray, tree),
+            "put_global: host values diverged across processes — every "
+            "rank must assemble the identical global value")
 
     def put(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
