@@ -114,6 +114,12 @@ class RecordStore(_StoreBase):
     def _frame_offset(self, key):
         vid, (tot, h, w), idx = parse_key(key)
         s = self.seq_info[vid]
+        if not (0 <= idx < s["t"]) or (h, w) != (s["h"], s["w"]):
+            # trusting the key blindly would read well-shaped garbage from
+            # the NEXT sequence's bytes (silent data corruption)
+            raise KeyError(
+                f"key {key!r} inconsistent with stored sequence "
+                f"{vid!r} (t={s['t']}, {s['h']}x{s['w']})")
         return s["offset"] + idx * (h * w * s["c"]), h, w, s["c"]
 
     def get(self, key: str) -> np.ndarray:

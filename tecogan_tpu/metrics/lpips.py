@@ -29,9 +29,11 @@ __all__ = ["LPIPS", "find_lpips_weights", "convert_alexnet",
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
-# torchvision AlexNet features: (out_ch, kernel, stride, pad); M = maxpool3/2
+# torchvision AlexNet features: (out_ch, kernel, stride, pad); M = maxpool3/2.
+# torchvision ends with a trailing maxpool, but the 5 LPIPS taps are all
+# post-ReLU (pre-pool), so it is omitted — pure dead work for this use
 _ALEX_CFG = [(64, 11, 4, 2), "M", (192, 5, 1, 2), "M", (384, 3, 1, 1),
-             (256, 3, 1, 1), (256, 3, 1, 1), "M"]
+             (256, 3, 1, 1), (256, 3, 1, 1)]
 # taps: after each ReLU (i.e. after conv i for i in 0..4)
 _ALEX_CHANS = [64, 192, 384, 256, 256]
 

@@ -41,9 +41,20 @@ def create_metric_calculator(opt):
     return None
 
 
+_KNOWN_METRICS = ("PSNR", "SSIM", "LPIPS", "tOF")
+
+
 class MetricCalculator:
     def __init__(self, opt):
         self.metric_opt = opt["metric"]
+        unknown = [m for m in self.metric_opt if m not in _KNOWN_METRICS]
+        if unknown:
+            # a typo'd/unsupported key would otherwise collect no frames
+            # and silently turn the dataset average into NaN (tLP100 is
+            # an official_metrics-only column)
+            raise ValueError(
+                f"unsupported metric(s) {unknown}; supported here: "
+                f"{list(_KNOWN_METRICS)}")
         self.psnr_colorspace = self.metric_opt.get(
             "PSNR", {}).get("colorspace", "y")
         self.lpips = None
@@ -78,12 +89,24 @@ class MetricCalculator:
             mw = min(t_img.shape[1], p_img.shape[1])
             t_img, p_img = t_img[:mh, :mw], p_img[:mh, :mw]
             cur_gray = None  # per-frame gray cache for tOF
+            cur_y = None  # per-frame Y cache shared by PSNR(y) and SSIM
+
+            def luma_pair():
+                nonlocal cur_y
+                if cur_y is None:
+                    cur_y = (
+                        rgb_to_ycbcr(t_img)[..., 0].astype(np.float64),
+                        rgb_to_ycbcr(p_img)[..., 0].astype(np.float64))
+                return cur_y
 
             for mtype in self.metric_opt:
                 if mtype == "PSNR":
-                    per_frame["PSNR"].append(self._psnr(t_img, p_img))
+                    pair = ((t_img, p_img)
+                            if self.psnr_colorspace == "rgb"
+                            else luma_pair())
+                    per_frame["PSNR"].append(self._psnr(*pair))
                 elif mtype == "SSIM":
-                    per_frame["SSIM"].append(self._ssim(t_img, p_img))
+                    per_frame["SSIM"].append(self._ssim(*luma_pair()))
                 elif mtype == "LPIPS":
                     per_frame["LPIPS"].append(
                         float(self.lpips(t_img, p_img)[0]))
@@ -102,20 +125,14 @@ class MetricCalculator:
                 prev = cur_gray
         self.metric_dict[seq_idx] = per_frame
 
-    def _psnr(self, t_img, p_img):
-        if self.psnr_colorspace == "rgb":
-            a, b = t_img, p_img
-        else:
-            a = rgb_to_ycbcr(t_img)[..., 0]
-            b = rgb_to_ycbcr(p_img)[..., 0]
+    @staticmethod
+    def _psnr(a, b):
         rmse = np.sqrt(np.mean(
             (a.astype(np.float64) - b.astype(np.float64)) ** 2))
         return np.inf if rmse == 0 else 20 * np.log10(255.0 / rmse)
 
     @staticmethod
-    def _ssim(t_img, p_img):
-        a = rgb_to_ycbcr(t_img)[..., 0].astype(np.float64)
-        b = rgb_to_ycbcr(p_img)[..., 0].astype(np.float64)
+    def _ssim(a, b):
         return ssim(a, b, data_range=255.0)
 
     @staticmethod
@@ -146,11 +163,16 @@ class MetricCalculator:
             self.avg_metric_dict.update(d)
 
     def average(self):
-        return {
-            m: float(np.mean([
-                seq[m] for seq in self.avg_metric_dict.values()]))
-            for m in self.metric_opt
-        }
+        """Dataset average per metric. Sequences whose series was empty
+        (tOF needs >=2 frames) carry NaN from gather(); they are excluded
+        from the average instead of poisoning it — matching how the
+        official harness sums only non-empty series."""
+        out = {}
+        for m in self.metric_opt:
+            vals = [seq[m] for seq in self.avg_metric_dict.values()
+                    if not np.isnan(seq[m])]
+            out[m] = float(np.mean(vals)) if vals else float("nan")
+        return out
 
     def display(self):
         for seq_idx, md in self.avg_metric_dict.items():

@@ -64,6 +64,13 @@ def crop_32(img):
         h -= 32
     while w > ow - 16:
         w -= 32
+    if h <= 0 or w <= 0:
+        # any dim < 48 px leaves no 32-multiple inside the margins; an
+        # empty crop would emit NaN metrics with only a numpy warning
+        raise ValueError(
+            f"image {oh}x{ow} too small for the official protocol "
+            f"(crop to 32-multiples with 16 px margins needs >=48 px "
+            f"per side)")
     y, x = (oh - h) // 2, (ow - w) // 2
     return img[y:y + h, x:x + w], y, x
 
@@ -84,7 +91,10 @@ def _try_lpips():
         from ..metrics.lpips import LPIPS
 
         return LPIPS()
-    except FileNotFoundError as e:
+    except (FileNotFoundError, ImportError) as e:
+        # ImportError: weights present but torch (used only to decode the
+        # .pth files) is absent — degrade to the torch-free metrics, same
+        # as metric_calculator does
         print(f"WARNING: LPIPS/tLP100 disabled — {e}")
         return None
 
@@ -130,9 +140,21 @@ def _expand_seq_dirs(result_dirs, target_dirs):
     return r_out, t_out
 
 
+def _read_rgb(path):
+    img = cv2.imread(path)
+    if img is None:
+        raise IOError(f"unreadable or corrupt image: {path}")
+    return img[:, :, ::-1]
+
+
 def evaluate_folders(result_dirs, target_dirs, output_dir):
     os.makedirs(output_dir, exist_ok=True)
     result_dirs, target_dirs = _expand_seq_dirs(result_dirs, target_dirs)
+    if not result_dirs:
+        # appending Avg rows of 0.0 to a (possibly stale) metrics.csv
+        # would read as a successful zero-score evaluation
+        raise SystemExit(
+            "no scorable sequence pairs — nothing was evaluated")
     lpips = _try_lpips()
     keys = ["PSNR", "SSIM", "tOF"] + (["LPIPS", "tLP100"] if lpips else [])
 
@@ -156,8 +178,8 @@ def evaluate_folders(result_dirs, target_dirs, output_dir):
         pre = {}
 
         for i in range(_CUTFR, n - _CUTFR):
-            out = cv2.imread(outs[i])[:, :, ::-1]
-            tar = cv2.imread(tars[i])[:, :, ::-1]
+            out = _read_rgb(outs[i])
+            tar = _read_rgb(tars[i])
             mh = min(out.shape[0], tar.shape[0])
             mw = min(out.shape[1], tar.shape[1])
             out, tar = out[:mh, :mw], tar[:mh, :mw]

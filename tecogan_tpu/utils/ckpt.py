@@ -25,8 +25,19 @@ _SEP = "/"
 
 def _flatten(tree, prefix=""):
     out = {}
+    # empty dicts/sequences (e.g. optax EmptyState) vanish on save; that
+    # is safe for the positional leaf rebind in try_resume — they carry
+    # zero leaves on both the saved and the live side
     if isinstance(tree, dict):
         for k, v in tree.items():
+            if not isinstance(k, str) or _SEP in k or k.startswith("#"):
+                # stringified non-str keys (or keys colliding with the
+                # path syntax) do not round-trip: '2' and '10' sort
+                # differently as str vs int, silently permuting leaves
+                # against the live treedef on resume
+                raise ValueError(
+                    f"cannot checkpoint dict key {k!r} at {prefix!r}: "
+                    f"keys must be '{_SEP}'-free, non-'#' strings")
             out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):

@@ -149,3 +149,40 @@ def test_lmdb_dataset_end_to_end(tmp_path, rng, lmdb_shim, monkeypatch):
     ds = UnpairedClipDataset(out, crop_size=32, tempo_extent=3)
     item = ds[(0, np.random.default_rng(0))]
     assert item["gt"].shape == (3, 32, 32, 3)
+
+
+def test_record_store_rejects_inconsistent_key(tmp_path, rng):
+    """An out-of-range frame index or wrong geometry in a key must fail
+    loudly instead of reading well-shaped garbage from the next
+    sequence's bytes."""
+    import pytest
+
+    from tecogan_tpu.data import RecordWriter, open_store
+    from tecogan_tpu.data.records import make_key
+
+    out = str(tmp_path / "GT.rec")
+    w = RecordWriter(out)
+    w.add_sequence("a", (rng.random((3, 8, 10, 3)) * 255).astype(np.uint8))
+    w.add_sequence("b", (rng.random((3, 8, 10, 3)) * 255).astype(np.uint8))
+    w.close()
+    store = open_store(out)
+    ok = store.get(make_key("a", 3, 8, 10, 2))
+    assert ok.shape == (8, 10, 3)
+    with pytest.raises(KeyError):
+        store.get(make_key("a", 3, 8, 10, 3))  # one past the end
+    with pytest.raises(KeyError):
+        store.get(make_key("a", 3, 16, 10, 0))  # wrong geometry
+
+
+def test_save_pytree_rejects_unsafe_dict_keys(tmp_path):
+    """Non-string (stringified) dict keys don't round-trip: '2'/'10' sort
+    differently as str vs int, silently permuting leaves on resume."""
+    import pytest
+
+    from tecogan_tpu.utils.ckpt import save_pytree
+
+    with pytest.raises(ValueError, match="keys must be"):
+        save_pytree({2: np.zeros(1), 10: np.zeros(1)},
+                    str(tmp_path / "x.npz"))
+    with pytest.raises(ValueError, match="keys must be"):
+        save_pytree({"a/b": np.zeros(1)}, str(tmp_path / "y.npz"))

@@ -109,3 +109,61 @@ def test_short_sequence_does_not_poison_folder_avg(tmp_path):
         assert np.isfinite(folder_avg), (k, folder_avg)
     # the long sequence still contributes its 3 tOF frames
     assert summary["tOF"][0] == 3
+
+
+def test_crop_32_rejects_tiny_images():
+    """Dims < 48 px leave no 32-multiple inside the 16 px margins; an
+    empty crop used to emit NaN metrics with only a numpy warning."""
+    import pytest
+
+    with pytest.raises(ValueError, match="too small"):
+        crop_32(np.zeros((40, 64, 3), np.uint8))
+
+
+def test_evaluate_folders_refuses_empty_pair_list(tmp_path):
+    """With nothing scorable, appending 0.0 Avg rows to a (possibly
+    stale) metrics.csv would read as a successful zero-score run."""
+    import pytest
+
+    out = tmp_path / "out"
+    with pytest.raises(SystemExit, match="no scorable"):
+        evaluate_folders([str(tmp_path / "missing_r")],
+                         [str(tmp_path / "missing_t")], str(out))
+
+
+def test_unreadable_png_raises_with_filename(tmp_path):
+    import pytest
+
+    from tecogan_tpu.official_metrics.metrics import _read_rgb
+
+    bad = tmp_path / "trunc.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\n garbage")
+    with pytest.raises(IOError, match="trunc.png"):
+        _read_rgb(str(bad))
+
+
+def test_metric_calculator_rejects_unknown_metric():
+    import pytest
+
+    from tecogan_tpu.metrics.metric_calculator import MetricCalculator
+
+    with pytest.raises(ValueError, match="tLP100"):
+        MetricCalculator({"metric": {"PSNR": {}, "tLP100": {}}})
+
+
+def test_metric_calculator_single_frame_tof_does_not_poison_average(rng):
+    """tOF needs >=2 frames; a 1-frame sequence's NaN must not NaN the
+    dataset-wide average."""
+    from tecogan_tpu.metrics.metric_calculator import MetricCalculator
+
+    calc = MetricCalculator(
+        {"metric": {"PSNR": {"colorspace": "y"}, "tOF": {}}})
+    two = (rng.random((2, 48, 48, 3)) * 255).astype(np.uint8)
+    one = (rng.random((1, 48, 48, 3)) * 255).astype(np.uint8)
+    calc.compute_sequence_metrics("two", two, two)
+    calc.compute_sequence_metrics("one", one, one)
+    calc.gather(["two", "one"])
+    avg = calc.average()
+    assert np.isnan(calc.avg_metric_dict["one"]["tOF"])
+    assert not np.isnan(avg["tOF"]), avg
+    assert not np.isnan(avg["PSNR"])
