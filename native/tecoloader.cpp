@@ -11,6 +11,7 @@
 //
 // Build: make -C native   (produces libtecoloader.so)
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>

@@ -172,6 +172,10 @@ def _loader_rate(tmpdir):
     return 4 * n / (time.perf_counter() - t0)
 
 
+_MANUAL_MARKER = ("<!-- manual evidence below: preserved across "
+                  "bench_suite regenerations -->")
+
+
 def main():
     import tempfile
 
@@ -240,8 +244,18 @@ def main():
         lines.append(f"| {name} | {result} | {note} |")
     out = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                    "BENCHMARKS.md")
+    # preserve hand-recorded evidence (real-loop/campaign rows) below the
+    # marker across regenerations
+    manual = ""
+    if osp.exists(out):
+        with open(out) as f:
+            prev = f.read()
+        if _MANUAL_MARKER in prev:
+            manual = prev[prev.index(_MANUAL_MARKER):]
+    if not manual:
+        manual = _MANUAL_MARKER + "\n"
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n\n" + manual)
     print("\n".join(lines))
 
 

@@ -175,8 +175,8 @@ def main():
             o = jax.lax.conv_general_dilated(
                 outp, wp.astype(outp.dtype), (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., :12]
-            return x * 0 + o[..., :64] * 1e-3 if False else x + jnp.sum(
-                o).astype(dt) * 0
+            # keep the conv live without adding a dependent consumer
+            return x + jnp.sum(o).astype(dt) * 0
         timed("packed tail (convT packed + conv_out)", tail, up, n_iter=30)
 
     if want("srnet"):

@@ -117,7 +117,18 @@ def stage_data(wd, n_train=64, t_train=16, hw_train=(192, 192),
 
     rec_dir = osp.join(wd, "data", "GT.rec")
     lr_rec_dir = osp.join(wd, "data", "LR.rec")
-    if osp.exists(osp.join(rec_dir, "index.json")):
+    done = osp.exists(osp.join(rec_dir, "index.json"))
+    if done and degradation == "BI":
+        # a BD-era workdir (or a BI data stage killed between the two
+        # writer.close() calls) has the GT half only; training would then
+        # die late pointing at the missing LR.rec
+        done = osp.exists(osp.join(lr_rec_dir, "index.json"))
+        if not done:
+            raise SystemExit(
+                f"[data] {rec_dir} exists but {lr_rec_dir} is missing/"
+                f"incomplete — this workdir was built without the paired "
+                f"BI half. Use a fresh --workdir (or delete {wd}/data).")
+    if done:
         print(f"[data] {rec_dir} exists, skipping")
     else:
         rng = np.random.default_rng(seed)
@@ -305,7 +316,15 @@ def _bicubic_baseline(wd, degradation="BD"):
             frames.append(cv2.imread(osp.join(seq_dir, fn))[..., ::-1])
         gt = jnp.asarray(np.stack(frames), jnp.float32) / 255.0
         if degradation == "BI":
-            lr = imresize_matlab(gt, 1 / 4)
+            # upsample the SAME uint8-quantised LR PNGs the models are
+            # tested on (stage_data's test_LR tree) — an unquantised
+            # float LR would hand the baseline systematically cleaner
+            # input than the models must absorb
+            lr_seq = osp.join(wd, "data", "test_LR", seq)
+            lr = jnp.asarray(np.stack([
+                cv2.imread(osp.join(lr_seq, fn))[..., ::-1]
+                for fn in sorted(os.listdir(lr_seq))]),
+                jnp.float32) / 255.0
             sr = np.asarray(jnp.clip(imresize_matlab(lr, 4.0), 0.0, 1.0))
         else:
             lr = downsample_bd(gt, 4, sigma=1.5, pad_data=True)

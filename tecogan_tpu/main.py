@@ -8,6 +8,7 @@ mirror the reference so existing experiment YAMLs and tooling work.
 
 from __future__ import annotations
 
+import itertools
 import math
 import os.path as osp
 import time
@@ -132,11 +133,24 @@ def train(opt):
     if resumed:
         start_iter = int(np.asarray(model.state["step"]))
 
+    # Resume continues the DATA STREAM where the checkpoint left off, not
+    # just the step counter: the loaders seed shuffling and per-sample
+    # crops by (seed, epoch, i), so restarting at epoch 0 would replay
+    # exactly the samples already consumed (and a run resumed near the
+    # end would never see the later-epoch shuffles). Enter at the
+    # checkpoint's epoch and skip the batches it already trained on.
+    start_epoch = start_iter // iter_per_epoch
+    skip_in_epoch = start_iter % iter_per_epoch
+
     it = 0
     curr_iter = start_iter
     try:
-        for epoch in range(total_epoch):
-            for batch in train_loader.epoch(epoch):
+        for epoch in range(start_epoch, total_epoch):
+            epoch_iter = train_loader.epoch(epoch)
+            if epoch == start_epoch and skip_in_epoch:
+                epoch_iter = itertools.islice(epoch_iter, skip_in_epoch,
+                                              None)
+            for batch in epoch_iter:
                 it += 1
                 curr_iter = start_iter + it
                 # total_iter is the GLOBAL budget: a resumed run (auto-

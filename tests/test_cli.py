@@ -181,3 +181,66 @@ def test_cli_resume_respects_global_iteration_budget(tiny_exp):
     assert not any(f.endswith(".npz") and ("iter3" in f or "iter4" in f)
                    for f in files), files
     assert os.path.getmtime(state_path) == mtime  # not re-written
+
+
+def test_cli_resume_continues_data_stream(tmp_path, rng):
+    """Resume must continue the DATA stream, not just the step counter:
+    a run interrupted at iter K and resumed must end bit-identical to an
+    uninterrupted run (the loaders seed shuffles/crops by (seed, epoch,
+    i); restarting at epoch 0 replayed already-consumed samples)."""
+    import yaml
+
+    from tecogan_tpu.main import main
+    from tecogan_tpu.utils.ckpt import load_pytree
+
+    rec = str(tmp_path / "GT.rec")
+    w = RecordWriter(rec)
+    for vid in ("v0", "v1", "v2", "v3"):
+        w.add_sequence(vid, (rng.random((5, 48, 48, 3)) * 255).astype(
+            np.uint8))
+    w.close()
+
+    def opt_for(total_iter, ckpt_freq):
+        return {
+            "scale": 4, "manual_seed": 0, "verbose": False,
+            "dataset": {
+                "degradation": {"type": "BD", "sigma": 1.5},
+                "train": {"name": "V", "seq_dir": rec, "data_type": "rgb",
+                          "crop_size": 32, "batch_size_per_gpu": 2,
+                          "num_worker_per_gpu": 1, "pin_memory": True},
+            },
+            "model": {"name": "FRVSR",
+                      "generator": {"name": "FRNet", "in_nc": 3,
+                                    "out_nc": 3, "nf": 8, "nb": 2}},
+            "train": {"tempo_extent": 3, "start_iter": 0,
+                      "total_iter": total_iter,
+                      "generator": {"lr": 1e-3,
+                                    "lr_schedule": {"type": "FixedLR"},
+                                    "betas": [0.9, 0.999]},
+                      "pixel_crit": {"type": "CB", "weight": 1,
+                                     "reduction": "mean"}},
+            "test": {"test_freq": 0},
+            "logger": {"log_freq": 0, "decay": 0.99,
+                       "ckpt_freq": ckpt_freq},
+        }
+
+    # 2 iters/epoch (4 samples, batch 2): iter 3 sits inside epoch 1
+    def run(name, legs):
+        d = tmp_path / name
+        (d / "train" / "ckpt").mkdir(parents=True)
+        for total_iter, ckpt_freq in legs:
+            with open(d / "train.yml", "w") as f:
+                yaml.safe_dump(opt_for(total_iter, ckpt_freq), f)
+            main(["--exp_dir", str(d), "--mode", "train",
+                  "--opt", str(d / "train.yml"), "--gpu_ids", "0"])
+        return load_pytree(str(d / "train" / "ckpt" / "G_iter5.npz"))
+
+    straight = run("straight", [(5, 5)])
+    # interrupted at iter 3 (mid-epoch-1), then resumed to 5
+    resumed = run("resumed", [(3, 3), (5, 5)])
+
+    import jax
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), straight, resumed)
