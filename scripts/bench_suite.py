@@ -72,8 +72,14 @@ def _fps_infer_batch(n_streams: int):
     return n_streams * t / min(times)
 
 
-def _train_iter(model, mixed_precision=False, report_mfu=False,
-                train_unroll=None, remat=True):
+def build_train_case(model, mixed_precision=False, train_unroll=None,
+                     remat=True, donate=True):
+    """The reference-geometry train-step case (batch 4 x 10 frames x
+    128^2-GT-crop) shared by the benchmark suite and trace_report (one
+    copy of the recipe — a geometry/TrainConfig change stays in sync
+    between the benchmark and the trace that explains it).
+
+    Returns (step, state, batch, vgg) — vgg is None for frvsr."""
     import jax
 
     from tecogan_tpu.models.networks import (
@@ -96,6 +102,7 @@ def _train_iter(model, mixed_precision=False, report_mfu=False,
                 pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},
                 warping_crit={"type": "CB", "weight": 1, "reduction": "mean"})
     tx_g, _ = make_adam({"lr": 1e-4})
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
 
     if model == "frvsr":
         tcfg = TrainConfig(**base)
@@ -104,8 +111,8 @@ def _train_iter(model, mixed_precision=False, report_mfu=False,
             replicated(mesh))
         step = jax.jit(functools.partial(
             frvsr_train_step, cfg_g=cfg_g, tcfg=tcfg, tx_g=tx_g),
-            donate_argnums=(0,))
-        run = lambda s: step(s, batch)
+            **donate_kw)
+        vgg = None
     else:
         cfg_d = STNetConfig(spatial_size=128, degradation="BD", scale=4)
         tcfg = TrainConfig(
@@ -124,7 +131,18 @@ def _train_iter(model, mixed_precision=False, report_mfu=False,
             replicated(mesh))
         step = jax.jit(functools.partial(
             tecogan_train_step, cfg_g=cfg_g, cfg_d=cfg_d, tcfg=tcfg,
-            tx_g=tx_g, tx_d=tx_d), donate_argnums=(0,))
+            tx_g=tx_g, tx_d=tx_d), **donate_kw)
+    return step, state, batch, vgg
+
+
+def _train_iter(model, mixed_precision=False, report_mfu=False,
+                train_unroll=None, remat=True):
+    step, state, batch, vgg = build_train_case(
+        model, mixed_precision=mixed_precision, train_unroll=train_unroll,
+        remat=remat)
+    if vgg is None:
+        run = lambda s: step(s, batch)
+    else:
         run = lambda s: step(s, batch, vgg_params=vgg)
 
     state, logs = run(state)

@@ -123,64 +123,23 @@ def serve_case(n_streams: int = 4):
 
 
 def _train_case(model_name):
-    """Same construction as scripts/bench_suite.py::_train_iter."""
-    import functools
-
+    """Trace the SAME train-step case the benchmark suite times — the
+    construction is imported from bench_suite.build_train_case so the
+    trace always explains the benchmarked program (donation off: the
+    trace loop re-runs one fixed state)."""
     import jax
-    import numpy as np
 
-    from tecogan_tpu.models.networks import (
-        FRNetConfig, STNetConfig, init_frnet, init_stnet, init_vgg19)
-    from tecogan_tpu.models.schedules import make_adam
-    from tecogan_tpu.models.steps import (
-        TrainConfig, frvsr_init_state, frvsr_train_step,
-        tecogan_init_state, tecogan_train_step)
-    from tecogan_tpu.parallel import batch_sharding, get_mesh, replicated
+    from bench_suite import build_train_case
 
     noremat = model_name.endswith("_noremat")
     model_name = model_name.removesuffix("_noremat")
     mixed = model_name.endswith("_bf16")
     model_name = model_name.removesuffix("_bf16")
-    mesh = get_mesh()
-    rng = np.random.default_rng(0)
-    batch = {"gt": jax.device_put(
-        (rng.random((4, 10, 136, 136, 3)) * 255).astype(np.uint8),
-        batch_sharding(mesh))}
-    cfg_g = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD",
-                        remat=not noremat)
-    base = dict(scale=4, degradation="BD", sigma=1.5, tempo_extent=10,
-                mixed_precision=mixed,
-                pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},
-                warping_crit={"type": "CB", "weight": 1, "reduction": "mean"})
-    tx_g, _ = make_adam({"lr": 1e-4})
-
-    if model_name == "frvsr":
-        tcfg = TrainConfig(**base)
-        state = jax.device_put(
-            frvsr_init_state(init_frnet(jax.random.PRNGKey(0), cfg_g), tx_g),
-            replicated(mesh))
-        step = jax.jit(functools.partial(
-            frvsr_train_step, cfg_g=cfg_g, tcfg=tcfg, tx_g=tx_g))
+    step, state, batch, vgg = build_train_case(
+        model_name, mixed_precision=mixed, remat=not noremat, donate=False)
+    if vgg is None:
         run = lambda s: step(s, batch)  # noqa: E731
     else:
-        cfg_d = STNetConfig(spatial_size=128, degradation="BD", scale=4)
-        tcfg = TrainConfig(
-            **base,
-            feature_crit={"type": "CosineSimilarity", "weight": 0.2,
-                          "feature_layers": [8, 17, 26, 35]},
-            pingpong_crit={"type": "CB", "weight": 0.5, "reduction": "mean"},
-            gan_crit={"type": "GAN", "weight": 0.01, "reduction": "mean"},
-            update_policy="adaptive")
-        tx_d, _ = make_adam({"lr": 5e-5})
-        vgg = jax.device_put(init_vgg19(jax.random.PRNGKey(2)),
-                             replicated(mesh))
-        state = jax.device_put(tecogan_init_state(
-            init_frnet(jax.random.PRNGKey(0), cfg_g),
-            init_stnet(jax.random.PRNGKey(1), cfg_d), tx_g, tx_d),
-            replicated(mesh))
-        step = jax.jit(functools.partial(
-            tecogan_train_step, cfg_g=cfg_g, cfg_d=cfg_d, tcfg=tcfg,
-            tx_g=tx_g, tx_d=tx_d))
         run = lambda s: step(s, batch, vgg_params=vgg)[1]  # noqa: E731
 
     def run_block(state=state):

@@ -193,14 +193,20 @@ def train(opt):
 
 def test(opt):
     print_options(opt)
+    model = None
     for load_path in opt["model"]["generator"]["load_path_lst"]:
         model_idx = osp.splitext(osp.split(load_path)[-1])[0]
         log_info("=" * 40)
         log_info(f"Testing model: {model_idx}")
         log_info("=" * 40)
 
-        opt["model"]["generator"]["load_path"] = load_path
-        model = define_model(opt)
+        if model is None:
+            opt["model"]["generator"]["load_path"] = load_path
+            model = define_model(opt)
+        else:
+            # sweep over checkpoints: swap params only — datasets, metric
+            # stack and compiled inference executables are reused
+            model.load_generator(load_path)
         _run_test_sets(opt, model, model_idx)
         log_info("-" * 40)
 

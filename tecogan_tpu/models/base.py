@@ -104,6 +104,20 @@ class BaseVSRModel:
     def replicate(self, tree):
         return put_global(tree, replicated(self.mesh))
 
+    def load_generator(self, load_path: str):
+        """Swap in another generator checkpoint (multi-checkpoint test
+        sweeps): only the params change, so the datasets, metric stack
+        (incl. LPIPS weight loads) and compiled inference executables
+        (params are traced ARGUMENTS, not captures) are all reused
+        instead of being rebuilt per checkpoint."""
+        loaded = ckpt_io.load_generator_params(
+            load_path, self.cfg_g.nb, self.cfg_g.scale)
+        params = jax.tree.map(
+            lambda ref, x: jnp.asarray(x, jnp.float32),
+            jax.device_get(self.state["g"]), loaded)
+        self.state["g"] = self.replicate(params)
+        log_info(f"Load generator from: {load_path}")
+
     # ------------------------------------------------------------------ logs
     def get_running_log(self, state):
         return {k: float(v) for k, v in

@@ -244,3 +244,45 @@ def test_cli_resume_continues_data_stream(tmp_path, rng):
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)), straight, resumed)
+
+
+def test_cli_multi_checkpoint_sweep(tiny_exp):
+    """`load_path: ckpt/*.npz` + test.{start_iter,end_iter,test_freq}
+    sweeps every checkpoint through ONE model instance (params swapped via
+    load_generator; datasets/metric stack/compiled executables reused) and
+    writes a JSON entry per G_iter{N}."""
+    import json
+
+    import yaml
+
+    from tecogan_tpu.main import main
+
+    main(["--exp_dir", tiny_exp, "--mode", "train",
+          "--opt", osp.join(tiny_exp, "train.yml"), "--gpu_ids", "0"])
+    ckpt_dir = osp.join(tiny_exp, "train", "ckpt")
+    assert "G_iter2.npz" in os.listdir(ckpt_dir)
+
+    with open(osp.join(tiny_exp, "train.yml")) as f:
+        opt = yaml.safe_load(f)
+    opt["model"]["generator"]["load_path"] = osp.join(ckpt_dir, "*.npz")
+    opt["test"].update({"start_iter": 1, "end_iter": 2, "test_freq": 1,
+                        "save_res": False, "save_json": True})
+    # ckpt_freq 2, total_iter 2 -> G_iter2 only; add a copy as G_iter1 so
+    # the sweep has two distinct checkpoints
+    import shutil
+
+    shutil.copy(osp.join(ckpt_dir, "G_iter2.npz"),
+                osp.join(ckpt_dir, "G_iter1.npz"))
+    with open(osp.join(tiny_exp, "test.yml"), "w") as f:
+        yaml.safe_dump(opt, f)
+
+    main(["--exp_dir", tiny_exp, "--mode", "test",
+          "--opt", osp.join(tiny_exp, "test.yml"), "--gpu_ids", "0"])
+
+    json_path = osp.join(tiny_exp, "test", "metrics", "Toy_avg.json")
+    with open(json_path) as f:
+        d = json.load(f)
+    assert "G_iter1" in d and "G_iter2" in d, list(d)
+    # identical weights -> identical metrics: the swapped-in checkpoint
+    # really was evaluated (not a stale model)
+    assert d["G_iter1"]["PSNR"] == d["G_iter2"]["PSNR"]
