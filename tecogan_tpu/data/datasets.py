@@ -299,9 +299,19 @@ class PairedFolderDataset:
         self.lr_seq_dir = lr_seq_dir
         gt_keys = set(os.listdir(gt_seq_dir))
         lr_keys = set(os.listdir(lr_seq_dir))
-        self.keys = sorted(
-            set(_select_keys(gt_seq_dir, filter_file, filter_list))
-            & gt_keys & lr_keys)
+        selected = set(_select_keys(gt_seq_dir, filter_file, filter_list))
+        self.keys = sorted(selected & gt_keys & lr_keys)
+        dropped = sorted((selected & gt_keys) - lr_keys)
+        if dropped:
+            # same intersection semantics as the reference
+            # (`paired_folder_dataset.py:22`), but dropping sequences
+            # changes every dataset-average metric — say so
+            import logging
+
+            logging.getLogger("tecogan").warning(
+                "PairedFolderDataset: %d GT sequence(s) have no matching "
+                "LR folder under %s and will be SKIPPED: %s",
+                len(dropped), lr_seq_dir, ", ".join(dropped[:8]))
 
     def __len__(self):
         return len(self.keys)

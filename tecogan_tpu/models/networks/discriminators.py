@@ -133,11 +133,17 @@ def build_flow_merge(hr_flow, lr_data, fnet_params, cfg: STNetConfig,
     if use_pp:
         flow_fw = hr_flow[:, ::-1][:, 1:t:3]
     else:
+        from .frnet import _hr_flow
+
         _, _, lh, lw, c = lr_data.shape
         lr_curr = lr_data[:, 1:t:3].reshape(n_clip, lh, lw, c)
         lr_next = lr_data[:, 2:t:3].reshape(n_clip, lh, lw, c)
         lr_flow_fw = fnet_apply(fnet_params, lr_curr, lr_next)
-        flow_fw = (cfg.scale * cfg.upsample_fn(lr_flow_fw)).reshape(
+        # _hr_flow reflect-pads FNet's /8-truncated flow back to (lh, lw)
+        # before upsampling — without it the reshape below crashes for
+        # any LR crop not divisible by 8 (the hr_flow operand already
+        # carries this invariant from forward_sequence)
+        flow_fw = _hr_flow(cfg, lr_flow_fw, lh, lw).reshape(
             n, t // 3, hr_h, hr_w, 2)
 
     merge = jnp.stack([flow_bw, flow_idle, flow_fw], axis=2)

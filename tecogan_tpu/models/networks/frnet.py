@@ -376,7 +376,14 @@ def _sr_step_p2(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev_p2,
     """Packed-carry recurrence step (streaming inference): the previous HR
     frame stays in the SR tail's packed-2x layout; the Pallas warp reads it
     and emits conv_in's space_to_depth layout directly — the HR NHWC image
-    never materialises inside the loop."""
+    never materialises inside the loop.
+
+    NOTE: in production only the ``use_pallas=False`` gather variant is
+    reachable (the dispatch in `infer_sequence_batch` routes the Pallas
+    case to `_sr_step_planes`, which measured faster). The
+    ``use_pallas=True`` branch (`backward_warp_pallas_packed`) is a
+    retained, parity-tested reference formulation — exercised by
+    tests/test_fast_path.py, not by the serving path."""
     if use_pallas:
         from ...ops.warp_pallas import backward_warp_pallas_packed
 
@@ -620,6 +627,13 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
     if fold_streams and not (_fold_interpret
                              or jax.default_backend() == "tpu"):
         fold_streams = False  # banded warp needs the kernel (or interpret)
+    if tail_order != "u8_d2s" and (use_p16 or fold_streams):
+        # these opt-in layouts have their own output epilogues and would
+        # silently measure the default — the misattribution the knob's
+        # validation exists to prevent
+        raise ValueError(
+            f"tail_order={tail_order!r} is only implemented for the "
+            f"default (planes/p2) path; disable packed16/fold_streams")
     if fold_streams:
         _g_rows, ph, band = _fold_geometry(s, h)
         masks = _fold_masks(s, n, h, ph, band)

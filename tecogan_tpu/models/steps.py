@@ -120,6 +120,21 @@ def prepare_bd_batch(gt, scale: int, sigma: float):
     return gt, lr
 
 
+def _check_train_crop(lh: int, lw: int):
+    """Training LR crops must be multiples of 8: FNet's pooling floors
+    odd sizes, so a non-/8 crop gives a flow smaller than the frames and
+    the warping loss / flow-merge shapes blow up deep inside the step
+    (the reference has the identical constraint — its configs always use
+    /8 crops and its warp loss crashes the same way otherwise). Fail at
+    the step boundary with the actual knob named instead."""
+    if lh % 8 or lw % 8:
+        raise ValueError(
+            f"training LR crop {lh}x{lw} is not a multiple of 8; pick a "
+            f"dataset crop_size whose LR (crop/scale, after the BD border "
+            f"for on-the-fly BD) is divisible by 8 — e.g. the reference's "
+            f"128")
+
+
 def _warp_loss(crit, out):
     lr_warp = backward_warp_diff(out["lr_prev"], out["lr_flow"])
     return crit(lr_warp, out["lr_curr"])
@@ -150,8 +165,16 @@ def frvsr_train_step(state, batch, *, cfg_g, tcfg: TrainConfig, tx_g,
         gt, lr = prepare_bd_batch(batch["gt"], tcfg.scale, tcfg.sigma)
     else:
         gt, lr = batch["gt"], batch["lr"]
+    _check_train_crop(lr.shape[-3], lr.shape[-2])
 
     pix_crit = define_criterion(tcfg.pixel_crit)
+    if pix_crit is None:
+        # unlike the GAN step's optional criteria, FRVSR without a pixel
+        # loss has no training signal at all — a clear config error beats
+        # the AttributeError (or a silent zero-gradient run) it would hit
+        raise ValueError(
+            "FRVSR training requires train.pixel_crit (reference "
+            "vsr_model.py:61-95 always defines it)")
     warp_crit = define_criterion(tcfg.warping_crit)
     pix_w = tcfg.pixel_crit.get("weight", 1.0)
     warp_w = tcfg.warping_crit.get("weight", 1.0) if tcfg.warping_crit else 0.0
@@ -233,6 +256,7 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
         gt, lr = batch["gt"], batch["lr"]
 
     n, t, lh, lw, c = lr.shape
+    _check_train_crop(lh, lw)
     gh, gw = gt.shape[2], gt.shape[3]
 
     pix_crit = define_criterion(tcfg.pixel_crit)
@@ -449,6 +473,10 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
 
     logs = {
         "l_gan_D": loss_d,
+        # despite the p_ name these are RAW LOGIT means, exactly like the
+        # reference's log lines (`vsrgan_model.py:194-195` logs
+        # real_pred_D.mean(), no sigmoid); the adaptive vote above is the
+        # one consumer that needs log-probabilities and computes its own
         "p_real_D": jnp.mean(rl32),
         "p_fake_D": jnp.mean(fl32),
         "distance": distance,

@@ -320,3 +320,18 @@ def test_pair_streams_falls_back_off_tpu(rng):
     ref = infer_sequence_batch(params, lr, cfg, chunk=3)
     got = infer_sequence_batch(params, lr, cfg, chunk=3, pair_streams=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_tail_order_rejected_on_alt_layouts(rng):
+    """packed16/fold_streams have their own output epilogues; a non-default
+    tail_order would silently measure the default — reject loudly."""
+    from tecogan_tpu.models.networks import (
+        FRNetConfig, infer_sequence_batch, init_frnet)
+
+    cfg = FRNetConfig(nf=8, nb=2, scale=4, degradation="BD",
+                      compute_dtype="float32", pallas_warp=True)
+    params = init_frnet(jax.random.PRNGKey(9), cfg)
+    lr = jnp.asarray(rng.random((1, 3, 16, 24, 3)), jnp.float32)
+    with pytest.raises(ValueError, match="fold_streams"):
+        infer_sequence_batch(params, lr, cfg, chunk=3, fold_streams=True,
+                             tail_order="step_u8", _fold_interpret=True)

@@ -93,3 +93,58 @@ def test_mixed_precision_gan_step(rng):
     import jax.numpy as jnp
     for leaf in jax.tree.leaves(state["g"]):
         assert leaf.dtype == jnp.float32
+
+
+def test_no_pingpong_stnet_step_runs(rng):
+    """Without ping-pong the forward flow comes from an EXTRA FNet pass
+    (`tecogan_nets.py:413-425`); exercise that branch end-to-end (the
+    default test matrix always enables pingpong_crit)."""
+    from tecogan_tpu.models.networks import STNetConfig, init_stnet
+
+    cfg_g = FRNetConfig(nf=8, nb=2, scale=4, degradation="BD")
+    cfg_d = STNetConfig(spatial_size=32, degradation="BD", scale=4)
+    tcfg = TrainConfig(
+        scale=4, degradation="BD", sigma=1.5, tempo_extent=3,
+        pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},
+        warping_crit={"type": "CB", "weight": 1, "reduction": "mean"},
+        gan_crit={"type": "GAN", "weight": 0.01, "reduction": "mean"},
+        update_policy="always")
+    assert tcfg.pingpong_crit is None
+    mesh = get_mesh()
+    tx_g, _ = make_adam({"lr": 5e-5})
+    tx_d, _ = make_adam({"lr": 5e-5})
+    pg = init_frnet(jax.random.PRNGKey(0), cfg_g)
+    pd = init_stnet(jax.random.PRNGKey(1), cfg_d)
+    state = jax.device_put(
+        tecogan_init_state(pg, pd, tx_g, tx_d), replicated(mesh))
+    step = jax.jit(functools.partial(
+        tecogan_train_step, cfg_g=cfg_g, cfg_d=cfg_d, tcfg=tcfg,
+        tx_g=tx_g, tx_d=tx_d))
+    batch = {"gt": jax.device_put(
+        rng.random((8, 3, 40, 40, 3)).astype(np.float32),
+        batch_sharding(mesh))}
+    state, logs = step(state, batch, vgg_params=None)
+    assert np.isfinite(float(logs["l_gan_G"]))
+    assert np.isfinite(float(logs["l_gan_D"]))
+
+
+def test_non_div8_train_crop_rejected(rng):
+    """A training LR crop not divisible by 8 (FNet pools floor odd sizes)
+    must fail at the step boundary with the config knob named — it used
+    to blow up deep inside the warping loss / flow-merge shapes. The
+    reference shares the constraint (its configs always use /8 crops)."""
+    cfg_g = FRNetConfig(nf=8, nb=2, scale=4, degradation="BD")
+    from tecogan_tpu.models.schedules import make_adam as _ma
+    from tecogan_tpu.models.steps import frvsr_init_state, frvsr_train_step
+
+    tcfg = TrainConfig(
+        scale=4, degradation="BD", sigma=1.5, tempo_extent=3,
+        pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},
+        warping_crit={"type": "CB", "weight": 1, "reduction": "mean"})
+    tx_g, _ = _ma({"lr": 1e-4})
+    pg = init_frnet(jax.random.PRNGKey(0), cfg_g)
+    state = frvsr_init_state(pg, tx_g)
+    # GT 48 -> BD border crop 40 -> LR 10
+    batch = {"gt": rng.random((2, 3, 48, 48, 3)).astype(np.float32)}
+    with pytest.raises(ValueError, match="multiple of 8"):
+        frvsr_train_step(state, batch, cfg_g=cfg_g, tcfg=tcfg, tx_g=tx_g)
