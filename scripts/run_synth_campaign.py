@@ -367,10 +367,18 @@ def _test_model(wd, name, ckpt, nf=64, nb=10, degradation="BD"):
                     osp.splitext(osp.basename(ckpt))[0])
 
 
+import re
+
+# the official harness's console summary line (metrics.py prints
+# "{k}, total frame {n}, total avg {x}, folder avg {y}"); the value class
+# must escape '-' ('[+-e]' would be a character RANGE swallowing ,/:;<A-Z)
+METRIC_LINE_RE = re.compile(
+    r"^(\w+), total frame (\d+), total avg ([\d.+\-eEna]+), "
+    r"folder avg ([\d.+\-eEna]+)")
+
+
 def _official_metrics(wd, tag, res_root):
     """Run the official harness; parse the console summary into a dict."""
-    import re
-
     gt_dir = osp.join(wd, "data", "test_GT")
     out = osp.join(wd, "eval", f"official_{tag}")
     os.makedirs(out, exist_ok=True)
@@ -382,8 +390,7 @@ def _official_metrics(wd, tag, res_root):
         print(r.stderr[-2000:])
         raise RuntimeError(f"official metrics failed for {tag}")
     summary = {}
-    pat = re.compile(r"^(\w+), total frame (\d+), total avg ([\d.+-eEna]+), "
-                     r"folder avg ([\d.+-eEna]+)")
+    pat = METRIC_LINE_RE
     for line in r.stdout.splitlines():
         m = pat.match(line.strip())
         if m:

@@ -110,7 +110,9 @@ def test_paired_device_loader_matches_host_loader(paired_records):
                            moving_factor=0.5, output_dtype=np.uint8)
     host = TrainLoader(ds, batch_size=4, seed=5, num_workers=2)
     dev = DeviceResidentLoader(ds, batch_size=4, seed=5)
-    for h, d in zip(host.epoch(0), dev.epoch(0)):
+    hb, db = list(host.epoch(0)), list(dev.epoch(0))
+    assert len(hb) == len(db) == len(host) > 0  # zip must not be vacuous
+    for h, d in zip(hb, db):
         np.testing.assert_array_equal(np.asarray(d["gt"]), h["gt"])
         np.testing.assert_array_equal(np.asarray(d["lr"]), h["lr"])
 

@@ -15,7 +15,7 @@ from tecogan_tpu.models.steps import (
 from tecogan_tpu.parallel import batch_sharding, get_mesh, replicated
 
 
-def _run_step(cfg_g, cfg_d, tcfg, batch, rng):
+def _run_step(cfg_g, cfg_d, tcfg, batch):
     mesh = get_mesh()
     tx_g, _ = make_adam({"lr": 5e-5})
     tx_d, _ = make_adam({"lr": 5e-5})
@@ -46,7 +46,7 @@ def test_snet_gan_step_runs(rng):
         gan_crit={"type": "GAN", "weight": 0.01, "reduction": "mean"},
         update_policy="always")
     batch = {"gt": rng.random((8, 3, 40, 40, 3)).astype(np.float32)}
-    state, logs = _run_step(cfg_g, cfg_d, tcfg, batch, rng)
+    state, logs = _run_step(cfg_g, cfg_d, tcfg, batch)
     assert np.isfinite(float(logs["l_gan_G"]))
     assert float(logs["n_upd_D"]) == 1.0
 
@@ -68,7 +68,7 @@ def test_bi_gan_step_with_fm_loss(rng):
         "gt": rng.random((8, 3, 32, 32, 3)).astype(np.float32),
         "lr": rng.random((8, 3, 8, 8, 3)).astype(np.float32),
     }
-    state, logs = _run_step(cfg_g, cfg_d, tcfg, batch, rng)
+    state, logs = _run_step(cfg_g, cfg_d, tcfg, batch)
     assert np.isfinite(float(logs["l_fm_G"]))
     assert float(logs["l_fm_G"]) != 0.0
     assert np.isfinite(float(logs["l_gan_G"]))
@@ -86,7 +86,7 @@ def test_mixed_precision_gan_step(rng):
         gan_crit={"type": "GAN", "weight": 0.01, "reduction": "mean"},
         update_policy="always", mixed_precision=True)
     batch = {"gt": (rng.random((8, 3, 40, 40, 3)) * 255).astype(np.uint8)}
-    state, logs = _run_step(cfg_g, cfg_d, tcfg, batch, rng)
+    state, logs = _run_step(cfg_g, cfg_d, tcfg, batch)
     for k in ("l_pix_G", "l_gan_D", "l_gan_G", "distance"):
         assert np.isfinite(float(logs[k])), k
     # master params stay fp32

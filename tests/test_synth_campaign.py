@@ -92,10 +92,16 @@ def test_campaign_bi_config_feeds_real_loader(campaign, tmp_path):
 
 
 def test_official_metrics_summary_parsing(campaign):
-    import re
-
-    pat = re.compile(r"^(\w+), total frame (\d+), total avg ([\d.+-eEna]+), "
-                     r"folder avg ([\d.+-eEna]+)")
+    """Exercise the SCRIPT'S parser (campaign.METRIC_LINE_RE), not a local
+    copy: a harness format / regex edit must break this test."""
+    pat = campaign.METRIC_LINE_RE
     m = pat.match("PSNR, total frame 104, total avg 27.0613, "
                   "folder avg 27.0598")
     assert m and m.group(1) == "PSNR" and int(m.group(2)) == 104
+    assert float(m.group(3)) == 27.0613 and float(m.group(4)) == 27.0598
+    # 'nan' summaries parse; malformed separators must NOT match (the old
+    # '[+-e]' class was a character range that swallowed ,/:;<A-Z)
+    m2 = pat.match("tOF, total frame 100, total avg nan, folder avg nan")
+    assert m2 and m2.group(3) == "nan"
+    assert pat.match(
+        "PSNR, total frame 104, total avg 27:06;13, folder avg 1") is None

@@ -69,4 +69,7 @@ def test_find_lpips_weights_locates_reference_lin_heads():
     from tecogan_tpu.metrics.lpips import find_lpips_weights
 
     _, lin = find_lpips_weights()
-    assert lin == _REF_LIN or (lin and osp.exists(lin))
+    # the skipif guarantees the reference heads exist — the locator must
+    # return exactly them ('any existing file' would pass for a stale or
+    # wrong pick)
+    assert lin is not None and osp.samefile(lin, _REF_LIN), lin
