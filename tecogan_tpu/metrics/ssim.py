@@ -19,6 +19,12 @@ __all__ = ["ssim"]
 
 def ssim(img1: np.ndarray, img2: np.ndarray, data_range: float,
          win_size: int = 7, k1: float = 0.01, k2: float = 0.03) -> float:
+    if min(img1.shape[0], img1.shape[1]) < win_size:
+        # the centre crop below would be empty -> NaN with only a numpy
+        # warning; skimage raises here too
+        raise ValueError(
+            f"win_size {win_size} exceeds image extent "
+            f"{img1.shape[0]}x{img1.shape[1]}")
     x = img1.astype(np.float64)
     y = img2.astype(np.float64)
 

@@ -42,8 +42,10 @@ class BaseVSRModel:
                 devs = jax.devices("cpu")
             elif ids:
                 devs = jax.devices()
-                bad = [i for i in ids if i >= len(devs)]
+                bad = [i for i in ids if i >= len(devs) or i < 0]
                 if bad:
+                    # negative ids would Python-index from the END of the
+                    # device list and silently run on the wrong chip
                     raise ValueError(
                         f"device ids {bad} out of range: only "
                         f"{len(devs)} devices available")
@@ -57,6 +59,7 @@ class BaseVSRModel:
             self.ckpt_dir = opt["train"]["ckpt_dir"]
 
         self._infer_fn_cache = {}
+        self._local_infer_params = None  # multi-host per-process copy
 
     # ------------------------------------------------------------------ data
     def prepare_training_data(self, batch):
@@ -112,10 +115,16 @@ class BaseVSRModel:
         instead of being rebuilt per checkpoint."""
         loaded = ckpt_io.load_generator_params(
             load_path, self.cfg_g.nb, self.cfg_g.scale)
-        params = jax.tree.map(
-            lambda ref, x: jnp.asarray(x, jnp.float32),
-            jax.device_get(self.state["g"]), loaded)
+        # structure check against the live treedef only — no device_get of
+        # the whole parameter tree just to serve as a tree.map template
+        if (jax.tree.structure(loaded)
+                != jax.tree.structure(self.state["g"])):
+            raise ValueError(
+                f"{load_path} does not match the configured generator "
+                f"(nb={self.cfg_g.nb}, scale={self.cfg_g.scale})")
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), loaded)
         self.state["g"] = self.replicate(params)
+        self._local_infer_params = None  # invalidate the multi-host cache
         log_info(f"Load generator from: {load_path}")
 
     # ------------------------------------------------------------------ logs
@@ -154,8 +163,17 @@ class BaseVSRModel:
         assert len(ref_leaves) == len(new_leaves), (
             f"checkpoint/state leaf count mismatch: {len(new_leaves)} vs "
             f"{len(ref_leaves)}")
+        for i, (ref, x) in enumerate(zip(ref_leaves, new_leaves)):
+            if tuple(np.shape(x)) != tuple(np.shape(ref)):
+                # same tree, different widths (e.g. nf changed between
+                # runs) would otherwise resume the wrong architecture
+                raise ValueError(
+                    f"checkpoint {path} does not match the configured "
+                    f"model: leaf {i} has shape {np.shape(x)}, expected "
+                    f"{np.shape(ref)}")
         leaves = [jnp.asarray(x, ref.dtype)
                   for ref, x in zip(ref_leaves, new_leaves)]
         state = jax.tree.unflatten(treedef, leaves)
+        self._local_infer_params = None  # invalidate the multi-host cache
         log_info(f"Resumed training state from {path}")
         return self.replicate(state), True

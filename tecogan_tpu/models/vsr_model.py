@@ -121,8 +121,18 @@ class VSRModel(BaseVSRModel):
             # on globally-sharded params — per-rank divergent programs on a
             # global mesh violate the SPMD gang-scheduling contract and
             # deadlock. Pull the (replicated) params to this process's
-            # local device and run purely locally.
-            g = jax.device_put(jax.device_get(g), jax.local_devices()[0])
+            # local device and run purely locally. The localized copy is
+            # cached keyed on the SOURCE TREE's identity (holding the ref
+            # keeps ids stable), so a test sweep localizes once per
+            # generator instead of round-tripping the whole tree per
+            # sequence, while in-training validation (state['g'] changes
+            # every step) still localizes fresh params each round.
+            cached = getattr(self, "_local_infer_params", None)
+            if cached is None or cached[0] is not g:
+                self._local_infer_params = (
+                    g, jax.device_put(jax.device_get(g),
+                                      jax.local_devices()[0]))
+            g = self._local_infer_params[1]
         hr = self._infer_fn_cache[chunk](g, jnp.asarray(lr_data))
         return np.asarray(hr[n_pad:])
 

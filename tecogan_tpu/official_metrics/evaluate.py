@@ -22,9 +22,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     keys = args.model.split("_")
-    assert keys[0] in ("TecoGAN", "FRVSR"), "model must be TecoGAN_* or FRVSR_*"
-    assert keys[1] in ("BD", "BI"), "degradation must be BD or BI"
+    if len(keys) < 2 or keys[0] not in ("TecoGAN", "FRVSR") \
+            or keys[1] not in ("BD", "BI"):
+        raise SystemExit(
+            f"model must be named (TecoGAN|FRVSR)_(BD|BI)_*, got "
+            f"{args.model!r}")
 
+    evaluated = 0
     for ds, seqs in (("Vid4", VID4_SEQS), ("ToS3", TOS3_SEQS)):
         gt_dir = f"data/{ds}/GT"
         sr_dir = f"results/{ds}/{args.model}"
@@ -35,6 +39,13 @@ def main(argv=None):
             [osp.join(gt_dir, s) for s in seqs],
             osp.join(sr_dir, "metric_log"),
         )
+        evaluated += 1
+    if not evaluated:
+        # exiting 0 with no output on a typo'd model name reads as a
+        # passing evaluation
+        raise SystemExit(
+            f"no results found under results/Vid4/{args.model} or "
+            f"results/ToS3/{args.model} — check the model name and cwd")
 
 
 if __name__ == "__main__":

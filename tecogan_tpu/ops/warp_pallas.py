@@ -163,7 +163,14 @@ def _warp_planes(planes: jnp.ndarray, flow: jnp.ndarray,
     fx = flow[..., 0].astype(ft)
 
     # align spatial dims to tile multiples (the padded outputs' coords clamp
-    # inside the valid box; their outputs are discarded)
+    # inside the valid box; their outputs are discarded). Known cost, not
+    # correctness: zero-padded flow rows sample their own (out-of-range)
+    # location, clamp to row h-1, and widen the bottom tiles' displacement
+    # enumeration by up to hp-h rows (wrapped reads carry zero weight).
+    # The exact fix is the packed-planes path's absolute-coordinate
+    # edge-pad, which needs a kernel-interface change (flow -> coords);
+    # at the serving shape (536 -> 544, 1/17 of tile rows) the waste is
+    # ~0.2% end-to-end, so the simpler interface is kept.
     hp = -(-h // _TH) * _TH
     wp = -(-w // _TW) * _TW
     if band:

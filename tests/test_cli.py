@@ -111,14 +111,18 @@ def test_cli_test_mode_after_training(tiny_exp):
     assert len(os.listdir(res)) == 5
 
 
-def test_cli_profile_mode(tiny_exp, capfd):
+def test_cli_profile_mode(tiny_exp, caplog):
+    import logging
+
     from tecogan_tpu.main import main
 
-    main(["--exp_dir", tiny_exp, "--mode", "profile",
-          "--opt", osp.join(tiny_exp, "train.yml"), "--gpu_ids", "0",
-          "--lr_size", "3x16x16", "--test_speed"])
-    cap = capfd.readouterr()
-    out = cap.out + cap.err  # the profile report goes through logging
+    # the report goes through logging (log_info); stream handlers bind
+    # whichever stderr existed at first setup, so capture via caplog
+    with caplog.at_level(logging.INFO):
+        main(["--exp_dir", tiny_exp, "--mode", "profile",
+              "--opt", osp.join(tiny_exp, "train.yml"), "--gpu_ids", "0",
+              "--lr_size", "3x16x16", "--test_speed"])
+    out = "\n".join(r.getMessage() for r in caplog.records)
     # the reference profile contract: per-module FLOPs/params + overall,
     # and --test_speed adds an FPS line
     assert "FLOPs (10^9)" in out and "Parameters (10^6)" in out, out[-800:]

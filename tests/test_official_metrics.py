@@ -167,3 +167,22 @@ def test_metric_calculator_single_frame_tof_does_not_poison_average(rng):
     assert np.isnan(calc.avg_metric_dict["one"]["tOF"])
     assert not np.isnan(avg["tOF"]), avg
     assert not np.isnan(avg["PSNR"])
+
+
+def test_ssim_rejects_sub_window_images():
+    import pytest
+
+    with pytest.raises(ValueError, match="win_size"):
+        ssim(np.ones((5, 5)), np.ones((5, 5)), 255.0)
+
+
+def test_evaluate_cli_refuses_bad_or_missing_model(tmp_path, monkeypatch):
+    import pytest
+
+    from tecogan_tpu.official_metrics import evaluate
+
+    with pytest.raises(SystemExit, match="TecoGAN"):
+        evaluate.main(["-m", "TecoGAN"])  # malformed name
+    monkeypatch.chdir(tmp_path)  # no results/ anywhere
+    with pytest.raises(SystemExit, match="no results"):
+        evaluate.main(["-m", "TecoGAN_BD_iter500000"])

@@ -68,3 +68,33 @@ def test_training_state_resume(tmp_path, rng):
 
     for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_resume_rejects_mismatched_architecture(tmp_path, rng):
+    """Same tree, different widths (nf changed between runs) must fail at
+    load time, not resume the wrong architecture silently."""
+    import pytest
+
+    from tecogan_tpu.models import define_model
+
+    def opt_for(nf):
+        return {
+            "scale": 4, "manual_seed": 0, "is_train": True,
+            "dataset": {"degradation": {"type": "BD", "sigma": 1.5}},
+            "model": {"name": "FRVSR",
+                      "generator": {"name": "FRNet", "in_nc": 3,
+                                    "out_nc": 3, "nf": nf, "nb": 2}},
+            "train": {"ckpt_dir": str(tmp_path), "tempo_extent": 3,
+                      "generator": {"lr": 1e-4,
+                                    "lr_schedule": {"type": "FixedLR"},
+                                    "betas": [0.9, 0.999]},
+                      "pixel_crit": {"type": "CB", "weight": 1,
+                                     "reduction": "mean"}},
+            "logger": {"decay": 0.99},
+        }
+
+    m8 = define_model(opt_for(8))
+    m8.save_training_state(m8.state, 3)
+    m16 = define_model(opt_for(16))
+    with pytest.raises(ValueError, match="does not match"):
+        m16.try_resume(m16.state)
