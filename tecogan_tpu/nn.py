@@ -188,6 +188,39 @@ def conv2d_transpose_packed(p, x):
     return y
 
 
+def _pack_conv3x3_blocks(w_hwio, taps: int, phases: int, disp):
+    """Shared block assembly for the three packed-conv reformulations
+    below: a (taps, taps, 4*cin, phases^2*cout) kernel whose block at
+    [tY, tX, (ry*2+rx)*cin, (py*phases+px)*cout] is w[dy+1, dx+1] with
+    (dy, dx) = (disp(tY, ry, py), disp(tX, rx, px)) when both lie in
+    [-1, 1], zero otherwise. The variants differ ONLY in (taps, phases,
+    displacement formula); one scaffold keeps their dtype/layout handling
+    in lockstep. Traceable (gradients flow to w_hwio)."""
+    kh, kw, cin, cout = w_hwio.shape
+    assert kh == 3 and kw == 3
+    zero = jnp.zeros((cin, cout), w_hwio.dtype)
+
+    def pick(dy, dx):
+        if -1 <= dy <= 1 and -1 <= dx <= 1:
+            return w_hwio[dy + 1, dx + 1]
+        return zero
+
+    rows = []
+    for ty in range(taps):
+        cols = []
+        for tx in range(taps):
+            in_blocks = []
+            for ry in range(2):
+                for rx in range(2):
+                    out_blocks = [
+                        pick(disp(ty, ry, py), disp(tx, rx, px))
+                        for py in range(phases) for px in range(phases)]
+                    in_blocks.append(jnp.concatenate(out_blocks, axis=-1))
+            cols.append(jnp.concatenate(in_blocks, axis=0))
+        rows.append(jnp.stack(cols, 0))
+    return jnp.stack(rows, 0)
+
+
 def pack_conv3x3_kernel(w_hwio: jnp.ndarray) -> jnp.ndarray:
     """Re-express a 3x3 conv over a 2x grid as a conv over the PACKED
     (h, w, 4*cin) representation: returns a (3, 3, 4*cin, 4*cout) kernel.
@@ -197,30 +230,8 @@ def pack_conv3x3_kernel(w_hwio: jnp.ndarray) -> jnp.ndarray:
     dy = 2*tY + ry - py (valid when in [-1, 1]); zero otherwise. Exact
     numerics; built with traceable ops so gradients flow to w_hwio.
     """
-    kh, kw, cin, cout = w_hwio.shape
-    assert kh == 3 and kw == 3
-    zero = jnp.zeros((cin, cout), w_hwio.dtype)
-    # out kernel: [tY, tX, (ry*2+rx)*cin + ci, (py*2+px)*cout + co]
-    rows = []
-    for ty in range(3):
-        cols = []
-        for tx in range(3):
-            in_blocks = []
-            for ry in range(2):
-                for rx in range(2):
-                    out_blocks = []
-                    for py in range(2):
-                        for px in range(2):
-                            dy = 2 * (ty - 1) + ry - py
-                            dx = 2 * (tx - 1) + rx - px
-                            if -1 <= dy <= 1 and -1 <= dx <= 1:
-                                out_blocks.append(w_hwio[dy + 1, dx + 1])
-                            else:
-                                out_blocks.append(zero)
-                    in_blocks.append(jnp.concatenate(out_blocks, axis=-1))
-            cols.append(jnp.concatenate(in_blocks, axis=0))
-        rows.append(jnp.stack(cols, 0))
-    return jnp.stack(rows, 0)  # (3, 3, 4*cin, 4*cout)
+    return _pack_conv3x3_blocks(
+        w_hwio, taps=3, phases=2, disp=lambda t, r, p: 2 * (t - 1) + r - p)
 
 
 def pack_conv3x3_as2x2_kernel(w_hwio: jnp.ndarray) -> jnp.ndarray:
@@ -246,29 +257,8 @@ def pack_conv3x3_as2x2_kernel(w_hwio: jnp.ndarray) -> jnp.ndarray:
     padding (their in-range rows ARE the HR pad rows; out-of-range rows get
     zero weight). Exact numerics; traceable (gradients flow to w_hwio).
     """
-    kh, kw, cin, cout = w_hwio.shape
-    assert kh == 3 and kw == 3
-    zero = jnp.zeros((cin, cout), w_hwio.dtype)
-    rows = []
-    for ty in range(2):
-        cols = []
-        for tx in range(2):
-            in_blocks = []
-            for ry in range(2):
-                for rx in range(2):
-                    out_blocks = []
-                    for py in range(2):
-                        for px in range(2):
-                            dy = 2 * ty + ry + py - 2
-                            dx = 2 * tx + rx + px - 2
-                            if -1 <= dy <= 1 and -1 <= dx <= 1:
-                                out_blocks.append(w_hwio[dy + 1, dx + 1])
-                            else:
-                                out_blocks.append(zero)
-                    in_blocks.append(jnp.concatenate(out_blocks, axis=-1))
-            cols.append(jnp.concatenate(in_blocks, axis=0))
-        rows.append(jnp.stack(cols, 0))
-    return jnp.stack(rows, 0)  # (2, 2, 4*cin, 4*cout)
+    return _pack_conv3x3_blocks(
+        w_hwio, taps=2, phases=2, disp=lambda t, r, p: 2 * t + r + p - 2)
 
 
 def packed2_phase_unshift(z: jnp.ndarray, cout: int) -> jnp.ndarray:
@@ -324,29 +314,8 @@ def pack_conv3x3_p2p4_kernel(w_hwio: jnp.ndarray) -> jnp.ndarray:
     taps of row sh are the conv's padding; rows beyond get zero weight).
     Exact numerics; traceable (gradients flow to w_hwio).
     """
-    kh, kw, cin, cout = w_hwio.shape
-    assert kh == 3 and kw == 3
-    zero = jnp.zeros((cin, cout), w_hwio.dtype)
-    rows = []
-    for ty in range(3):
-        cols = []
-        for tx in range(3):
-            in_blocks = []
-            for ry in range(2):
-                for rx in range(2):
-                    out_blocks = []
-                    for py in range(4):
-                        for px in range(4):
-                            dy = 2 * ty + ry - py - 1
-                            dx = 2 * tx + rx - px - 1
-                            if -1 <= dy <= 1 and -1 <= dx <= 1:
-                                out_blocks.append(w_hwio[dy + 1, dx + 1])
-                            else:
-                                out_blocks.append(zero)
-                    in_blocks.append(jnp.concatenate(out_blocks, axis=-1))
-            cols.append(jnp.concatenate(in_blocks, axis=0))
-        rows.append(jnp.stack(cols, 0))
-    return jnp.stack(rows, 0)  # (3, 3, 4*cin, 16*cout)
+    return _pack_conv3x3_blocks(
+        w_hwio, taps=3, phases=4, disp=lambda t, r, p: 2 * t + r - p - 1)
 
 
 def conv2d_transpose(p, x, stride: int = 2, padding: int = 1,
