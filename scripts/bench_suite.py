@@ -238,7 +238,8 @@ def main():
                  f"{t_tg * 1000:.0f} ms/iter = {4 / t_tg:.1f} clips/s", ""))
     with tempfile.TemporaryDirectory() as d:
         rate = _loader_rate(d)
-    rows.append(("host input pipeline (native clip assembler)",
+    rows.append(("host input pipeline (native fused assembler: "
+                 "gather+crop+aug+dtype straight into batch slots)",
                  f"{rate:.0f} clips/s", "not a bottleneck"))
 
     lines = [

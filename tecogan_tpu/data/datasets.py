@@ -140,18 +140,23 @@ class UnpairedClipDataset:
             "aug": (axis - 1) * 4 + k,  # spatial-aug index in [0, 12)
         }
 
-    def assemble(self, plan):
-        """Host assembly of a plan: mmap crop gather + spatial aug."""
+    def batch_spec(self):
+        """{key: (sample shape, dtype)} — lets the loader preallocate the
+        batch and hand each worker its slot (one materialisation per
+        sample instead of crop + aug + stack copies)."""
+        c = self.store.get(self.keys[0]).shape[-1]
+        t, csz = self.tempo_extent, self.crop_size
+        return {"gt": ((t, csz, csz, c), self.output_dtype)}
+
+    def assemble(self, plan, out=None):
+        """Host assembly of a plan: one fused gather (crop + spatial aug),
+        written into ``out``'s arrays when given (the batch slots)."""
         keys = [make_key(plan["vid"], plan["tot"], plan["h"], plan["w"], i)
                 for i in plan["f_idx"]]
-        csz = self.crop_size
-        pats = self.store.clip(keys, plan["tops"], plan["lefts"], csz, csz,
-                               self.output_dtype)
-        axis, k = plan["aug"] // 4 + 1, plan["aug"] % 4
-        if axis > 1:
-            pats = np.flip(pats, axis - 1)
-        pats = np.rot90(pats, k, (1, 2))
-        return {"gt": np.ascontiguousarray(pats)}
+        gt = self.store.clip_aug(
+            keys, plan["tops"], plan["lefts"], self.crop_size, plan["aug"],
+            self.output_dtype, out=None if out is None else out["gt"])
+        return {"gt": gt}
 
     def __getitem__(self, item_rng):
         item, rng = item_rng
@@ -234,7 +239,17 @@ class PairedClipDataset:
             "aug": (axis - 1) * 4 + k,
         }
 
-    def assemble(self, plan):
+    def batch_spec(self):
+        t, s = self.tempo_extent, self.scale
+        gcsz = self.gt_crop_size
+        gc = self.gt_store.get(self.pairs[0][0]).shape[-1]
+        lc = self.lr_store.get(self.pairs[0][1]).shape[-1]
+        return {
+            "gt": ((t, gcsz, gcsz, gc), self.output_dtype),
+            "lr": ((t, gcsz // s, gcsz // s, lc), self.output_dtype),
+        }
+
+    def assemble(self, plan, out=None):
         s = self.scale
         gcsz = self.gt_crop_size
         lcsz = gcsz // s
@@ -243,20 +258,13 @@ class PairedClipDataset:
         lks = [make_key(plan["vid"], plan["tot"], plan["lh"], plan["lw"], i)
                for i in plan["f_idx"]]
         dt = self.output_dtype
-        lr_pats = self.lr_store.clip(lks, plan["tops"], plan["lefts"],
-                                     lcsz, lcsz, dt)
-        gt_pats = self.gt_store.clip(gks, plan["tops"] * s,
-                                     plan["lefts"] * s, gcsz, gcsz, dt)
-        axis, k = plan["aug"] // 4 + 1, plan["aug"] % 4
-        if axis > 1:
-            gt_pats = np.flip(gt_pats, axis - 1)
-            lr_pats = np.flip(lr_pats, axis - 1)
-        gt_pats = np.rot90(gt_pats, k, (1, 2))
-        lr_pats = np.rot90(lr_pats, k, (1, 2))
-        return {
-            "gt": np.ascontiguousarray(gt_pats),
-            "lr": np.ascontiguousarray(lr_pats),
-        }
+        lr = self.lr_store.clip_aug(
+            lks, plan["tops"], plan["lefts"], lcsz, plan["aug"], dt,
+            out=None if out is None else out["lr"])
+        gt = self.gt_store.clip_aug(
+            gks, plan["tops"] * s, plan["lefts"] * s, gcsz, plan["aug"], dt,
+            out=None if out is None else out["gt"])
+        return {"gt": gt, "lr": lr}
 
     def __getitem__(self, item_rng):
         item, rng = item_rng

@@ -52,6 +52,35 @@ class TrainLoader:
             rng = np.random.default_rng((self.seed, epoch_idx, int(i)))
             return self.dataset[(int(i), rng)]
 
+        # clip datasets expose (sample_plan, assemble(out=), batch_spec):
+        # preallocate each batch and let every worker materialise its
+        # sample ONCE, straight into the batch slot (with the native
+        # assembler: one fused gather+crop+aug+dtype pass), instead of
+        # crop copy + aug copy + np.stack copy per sample
+        spec = (self.dataset.batch_spec()
+                if n_batches and hasattr(self.dataset, "batch_spec")
+                else None)
+
+        def make_batch(pool, idxs):
+            if spec is None:
+                samples = list(pool.map(sample, idxs))
+                return {
+                    k: np.stack([s[k] for s in samples])
+                    for k in samples[0]
+                }
+            batch = {k: np.empty((len(idxs),) + tuple(shape), dt)
+                     for k, (shape, dt) in spec.items()}
+
+            def one(j_i):
+                j, i = j_i
+                rng = np.random.default_rng((self.seed, epoch_idx, int(i)))
+                plan = self.dataset.sample_plan(int(i), rng)
+                self.dataset.assemble(
+                    plan, out={k: batch[k][j] for k in batch})
+
+            list(pool.map(one, enumerate(idxs)))  # list(): surface errors
+            return batch
+
         def put_or_stop(item):
             """Blocking put that still observes `stop`: the consumer may
             exit mid-epoch (total_iter reached, exception) with the queue
@@ -73,12 +102,7 @@ class TrainLoader:
                     for idxs in batch_idx:
                         if stop.is_set():
                             return
-                        samples = list(pool.map(sample, idxs))
-                        batch = {
-                            k: np.stack([s[k] for s in samples])
-                            for k in samples[0]
-                        }
-                        if not put_or_stop(batch):
+                        if not put_or_stop(make_batch(pool, idxs)):
                             return
             except Exception as e:  # surface worker errors to the consumer
                 put_or_stop(e)

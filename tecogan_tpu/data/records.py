@@ -87,6 +87,23 @@ class _StoreBase:
     def clip_f32(self, keys, tops, lefts, ch, cw) -> np.ndarray:
         return self.clip(keys, tops, lefts, ch, cw, np.float32)
 
+    def clip_aug(self, keys, tops, lefts, csz, aug: int,
+                 dtype=np.float32, out=None) -> np.ndarray:
+        """Crop + dihedral augmentation in one call: the csz x csz crops of
+        ``clip`` with flip/rot90 variant ``aug`` in [0, 12) applied (same
+        encoding as the sample plans: aug = (flip_axis - 1) * 4 + rot_k).
+        ``out``, if given, is a preallocated (t, csz, csz, c) destination —
+        e.g. one sample's slot of the batch buffer."""
+        pats = self.clip(keys, tops, lefts, csz, csz, dtype)
+        axis, k = aug // 4 + 1, aug % 4
+        if axis > 1:
+            pats = np.flip(pats, axis - 1)
+        pats = np.rot90(pats, k, (1, 2))
+        if out is not None:
+            out[...] = pats
+            return out
+        return np.ascontiguousarray(pats)
+
 
 class RecordStore(_StoreBase):
     """Read side: key -> (h, w, c) uint8 frame view (no copy).
@@ -126,7 +143,11 @@ class RecordStore(_StoreBase):
         off, h, w, c = self._frame_offset(key)
         return self.blob[off:off + h * w * c].reshape(h, w, c)
 
-    def clip(self, keys, tops, lefts, ch, cw, dtype=np.float32) -> np.ndarray:
+    def _native_offsets(self, keys):
+        """(offsets, h, w, c) for the native assembler, or None when it is
+        unavailable or the keys mix frame geometries (the C assembler
+        strides all frames with one geometry; a wrong stride would
+        silently gather garbage pixels)."""
         if not self._native_tried:
             self._native_tried = True
             try:
@@ -137,19 +158,32 @@ class RecordStore(_StoreBase):
             except Exception:
                 self._native = None
         if self._native is None:
-            return super().clip(keys, tops, lefts, ch, cw, dtype)
+            return None
         offs, h, w, c = [], None, None, None
         for key in keys:
             off, kh, kw, kc = self._frame_offset(key)
             if h is not None and (kh, kw, kc) != (h, w, c):
-                # the C assembler strides all frames with one geometry;
-                # mixed-resolution keys must take the per-key numpy path
-                # (a wrong stride would silently gather garbage pixels)
-                return super().clip(keys, tops, lefts, ch, cw, dtype)
+                return None
             h, w, c = kh, kw, kc
             offs.append(off)
+        return offs, h, w, c
+
+    def clip(self, keys, tops, lefts, ch, cw, dtype=np.float32) -> np.ndarray:
+        nat = self._native_offsets(keys)
+        if nat is None:
+            return super().clip(keys, tops, lefts, ch, cw, dtype)
+        offs, h, w, c = nat
         return self._native.assemble_clip(offs, h, w, c, tops, lefts, ch, cw,
                                           dtype)
+
+    def clip_aug(self, keys, tops, lefts, csz, aug: int,
+                 dtype=np.float32, out=None) -> np.ndarray:
+        nat = self._native_offsets(keys) if csz >= 2 else None
+        if nat is None:
+            return super().clip_aug(keys, tops, lefts, csz, aug, dtype, out)
+        offs, h, w, c = nat
+        return self._native.assemble_clip_aug(offs, h, w, c, tops, lefts,
+                                              csz, aug, dtype, out)
 
 
 class LMDBStore(_StoreBase):
