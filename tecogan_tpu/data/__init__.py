@@ -23,12 +23,14 @@ __all__ = [
 ]
 
 
-def create_dataloader(opt, phase: str, idx: str, n_devices: int = 1):
+def create_dataloader(opt, phase: str, idx: str, n_devices: int = 1,
+                      mesh=None):
     """Build a loader/dataset per the YAML dataset block.
 
     For training returns a TrainLoader producing the GLOBAL batch
     (batch_size_per_gpu * n_devices, matching the reference's per-GPU
-    batching under DDP).
+    batching under DDP). ``mesh`` (the model's dp mesh, when available)
+    lets the device-resident loader emit natively dp-sharded batches.
     """
     data_opt = opt["dataset"][idx]
     degradation = opt["dataset"]["degradation"]["type"]
@@ -89,6 +91,7 @@ def create_dataloader(opt, phase: str, idx: str, n_devices: int = 1):
                     dataset,
                     batch_size=data_opt["batch_size_per_gpu"] * n_devices,
                     seed=opt.get("manual_seed", 2021),
+                    mesh=mesh,
                 )
 
         return TrainLoader(

@@ -97,10 +97,14 @@ class DeviceResidentLoader(TrainLoader):
     Same epoch order, same per-sample RNG streams, same batch contents as
     the host loader — but the per-step host->device payload is the stacked
     plans (int32, ~100 B/sample) instead of the crops; the batch itself is
-    born on device.
+    born on device. With a multi-device ``mesh`` the batch is born already
+    dp-SHARDED (corpus replicated, per-device local gather of its own
+    rows) so the training step's input sharding is satisfied with zero
+    per-step inter-device traffic.
     """
 
-    def __init__(self, dataset, batch_size: int, seed: int = 0, **_unused):
+    def __init__(self, dataset, batch_size: int, seed: int = 0, mesh=None,
+                 **_unused):
         super().__init__(dataset, batch_size, seed=seed, num_workers=1)
         import jax
         import jax.numpy as jnp
@@ -124,14 +128,34 @@ class DeviceResidentLoader(TrainLoader):
             corpora = {"gt": clips}
             geoms = {"gt": (dataset.crop_size, 1)}
 
-        # assembled on the process's default device; the model's
-        # prepare_training_data then device_puts to its dp sharding (a
-        # no-op on one chip, an on-fabric scatter on a mesh — never a
-        # host->device transfer). A natively-sharded multi-chip variant
-        # (clips replicated, gather partitioned) is a straightforward
-        # extension once a real multi-chip host exists to measure it on.
-        self._clips = {k: jax.device_put(v) for k, v in corpora.items()}
-        self._maps = {k: jax.device_put(dihedral_maps(csz))
+        # Placement: with a (single-process) multi-device ``mesh`` the
+        # corpus + aug maps are REPLICATED over the mesh and the jitted
+        # gather emits the batch already sharded over ``dp`` — each device
+        # gathers only its own batch rows from its local corpus copy, so
+        # the per-step cross-device scatter the reshard path pays does not
+        # exist. Without a mesh (or on one device) everything lands on the
+        # default device and the model's prepare_training_data device_puts
+        # to its dp sharding (a no-op on one chip, an on-fabric scatter on
+        # a mesh — never a host->device transfer either way). Multi-PROCESS
+        # meshes take the host-loader fallback in the factory: the corpus
+        # would have to be uploaded per-host as a global array, which no
+        # real multi-host exists here to validate.
+        if mesh is not None and mesh.devices.size == 1:
+            mesh = None
+        self._mesh = mesh
+        if mesh is not None:
+            from ..parallel import batch_sharding, replicated
+
+            rep = replicated(mesh)
+            self._plan_sharding = rep
+            put = lambda v: jax.device_put(v, rep)
+            out_shardings = batch_sharding(mesh)
+        else:
+            self._plan_sharding = None
+            put = jax.device_put
+            out_shardings = None
+        self._clips = {k: put(v) for k, v in corpora.items()}
+        self._maps = {k: put(dihedral_maps(csz))
                       for k, (csz, _s) in geoms.items()}
         scales = {k: s for k, (_c, s) in geoms.items()}
 
@@ -154,7 +178,10 @@ class DeviceResidentLoader(TrainLoader):
                 for k in clips_d
             }
 
-        self._assemble = jax.jit(assemble)
+        if out_shardings is None:
+            self._assemble = jax.jit(assemble)
+        else:
+            self._assemble = jax.jit(assemble, out_shardings=out_shardings)
 
     def epoch(self, epoch_idx: int):
         import jax
@@ -176,5 +203,8 @@ class DeviceResidentLoader(TrainLoader):
             stacked = {
                 k: np.stack([p[k] for p in plans]) for k in plans[0]
             }
-            yield self._assemble(self._clips, self._maps,
-                                 jax.device_put(stacked))
+            if self._plan_sharding is not None:
+                stacked = jax.device_put(stacked, self._plan_sharding)
+            else:
+                stacked = jax.device_put(stacked)
+            yield self._assemble(self._clips, self._maps, stacked)

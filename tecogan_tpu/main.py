@@ -114,7 +114,8 @@ def train(opt):
 
     model = define_model(opt)
     n_dev = model.mesh.devices.size
-    train_loader = create_dataloader(opt, "train", "train", n_devices=n_dev)
+    train_loader = create_dataloader(opt, "train", "train", n_devices=n_dev,
+                                     mesh=model.mesh)
 
     total_sample = len(train_loader.dataset)
     iter_per_epoch = len(train_loader)

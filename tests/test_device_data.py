@@ -168,6 +168,47 @@ def test_device_batch_reshards_to_dp_mesh(uniform_records):
     np.testing.assert_array_equal(np.asarray(out), h["gt"])
 
 
+def test_device_loader_emits_native_dp_sharding(uniform_records):
+    """With a multi-device mesh the loader's batches are BORN sharded over
+    dp (corpus replicated, each device gathering its own rows) — no
+    per-step reshard — and stay bit-identical to the host loader's."""
+    import jax
+
+    from tecogan_tpu.data.device_data import DeviceResidentLoader
+    from tecogan_tpu.parallel import batch_sharding, get_mesh, replicated
+
+    ds = _dataset(uniform_records)
+    mesh = get_mesh()
+    assert mesh.devices.size == 8  # conftest's virtual CPU mesh
+    dev = DeviceResidentLoader(ds, batch_size=8, seed=2, mesh=mesh)
+    host = TrainLoader(ds, batch_size=8, seed=2, num_workers=2)
+    # the resident corpus is replicated over the mesh, not single-device
+    assert all(c.sharding == replicated(mesh) for c in dev._clips.values())
+    db, hb = list(dev.epoch(1)), list(host.epoch(1))
+    assert len(db) == len(hb) == len(host) > 0
+    for d, h in zip(db, hb):
+        assert d["gt"].sharding == batch_sharding(mesh)
+        np.testing.assert_array_equal(np.asarray(d["gt"]), h["gt"])
+    # the factory threads the mesh through (main.py passes model.mesh)
+    from tecogan_tpu.data import create_dataloader
+
+    opt = {
+        "scale": 4, "manual_seed": 3,
+        "dataset": {
+            "degradation": {"type": "BD", "sigma": 1.5},
+            "train": {"name": "x", "seq_dir": uniform_records,
+                      "crop_size": 16, "batch_size_per_gpu": 1,
+                      "device_resident": True},
+        },
+        "train": {"tempo_extent": 3},
+    }
+    loader = create_dataloader(opt, "train", "train", n_devices=8,
+                               mesh=mesh)
+    batch = next(iter(loader))
+    assert batch["gt"].sharding == batch_sharding(mesh)
+    assert np.asarray(batch["gt"]).shape == (8, 3, 24, 24, 3)
+
+
 def test_paired_plan_assemble_equals_getitem(paired_records):
     from tecogan_tpu.data import PairedClipDataset
 
