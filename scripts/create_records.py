@@ -36,7 +36,11 @@ def _iter_sequences(raw_dir, filter_file=None):
         for fname in sorted(os.listdir(seq_dir)):
             if not fname.lower().endswith((".png", ".jpg")):
                 continue
-            frames.append(cv2.imread(osp.join(seq_dir, fname))[..., ::-1])
+            img = cv2.imread(osp.join(seq_dir, fname))
+            if img is None:  # cv2 returns None for unreadable files
+                raise IOError(f"unreadable or corrupt image: "
+                              f"{osp.join(seq_dir, fname)}")
+            frames.append(img[..., ::-1])
         if frames:
             yield si, len(seqs), seq, np.ascontiguousarray(np.stack(frames))
 

@@ -289,8 +289,13 @@ def _select_keys(root, filter_file=None, filter_list=None):
 def _read_seq(seq_dir, as_float):
     frames = []
     for p in retrieve_files(seq_dir):
-        img = cv2.imread(p)[..., ::-1]  # BGR -> RGB
-        frames.append(img)
+        img = cv2.imread(p)
+        if img is None:
+            # cv2 signals unreadable/corrupt files by returning None; the
+            # bare [..., ::-1] would die as an unsubscriptable-NoneType
+            # TypeError with no filename
+            raise IOError(f"unreadable or corrupt image: {p}")
+        frames.append(img[..., ::-1])  # BGR -> RGB
     seq = np.stack(frames)
     if as_float:
         seq = seq.astype(np.float32) / 255.0
