@@ -245,3 +245,53 @@ def rand_vgg19_sd(rng):
         seq_idx += 2
         cin = v
     return sd
+
+
+def rand_vgg16_sd(rng):
+    """Random weights in the torchvision VGG16 `features` state_dict
+    layout (numpy): 13 3x3 convs in blocks of (2,2,3,3,3) with pools
+    between blocks — the LPIPS 'vgg' backbone
+    (`codes/metrics/LPIPS/models/pretrained_networks.py` vgg16)."""
+    import numpy as np
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512]
+    sd = {}
+    cin, idx = 3, 0
+    for spec in cfg:
+        if spec == "M":
+            idx += 1
+            continue
+        sd[f"features.{idx}.weight"] = (
+            rng.standard_normal((spec, cin, 3, 3)).astype(np.float32) * 0.05)
+        sd[f"features.{idx}.bias"] = rng.standard_normal(spec).astype(
+            np.float32) * 0.1
+        cin = spec
+        idx += 2  # conv + relu
+    return sd
+
+
+# (feature idx, cin, squeeze, expand) of squeezenet1_1's 8 Fire modules
+SQUEEZE_FIRES = [(3, 64, 16, 64), (4, 128, 16, 64), (6, 128, 32, 128),
+                 (7, 256, 32, 128), (9, 256, 48, 192), (10, 384, 48, 192),
+                 (11, 384, 64, 256), (12, 512, 64, 256)]
+
+
+def rand_squeezenet_sd(rng):
+    """Random weights in the torchvision SqueezeNet1.1 `features`
+    state_dict layout (numpy) — the LPIPS 'squeeze' backbone."""
+    import numpy as np
+
+    def conv(co, ci, k):
+        return (rng.standard_normal((co, ci, k, k)).astype(np.float32) * 0.05,
+                rng.standard_normal(co).astype(np.float32) * 0.1)
+
+    sd = {}
+    sd["features.0.weight"], sd["features.0.bias"] = conv(64, 3, 3)
+    for i, cin, sq, ex in SQUEEZE_FIRES:
+        for part, co, ci, k in ((f"squeeze", sq, cin, 1),
+                                (f"expand1x1", ex, sq, 1),
+                                (f"expand3x3", ex, sq, 3)):
+            w, b = conv(co, ci, k)
+            sd[f"features.{i}.{part}.weight"] = w
+            sd[f"features.{i}.{part}.bias"] = b
+    return sd
