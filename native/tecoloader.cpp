@@ -32,14 +32,23 @@
 
 namespace {
 
-// Run fn(i) for i in [0, t) over up to 4 threads (frames are independent).
+// Per-sample thread cap. 4 suits a single-chip host (the Python loader
+// already runs num_worker threads over samples, so per-sample threads
+// multiply); a pod host assembling dp-scale global batches can raise it
+// via teco_set_max_threads (Python: TECOGAN_LOADER_THREADS or
+// data.native.set_assembler_threads).
+std::atomic<int> g_max_threads{4};
+
+// Run fn(i) for i in [0, t) over up to g_max_threads threads (frames are
+// independent).
 template <typename Fn>
 void parallel_frames(int t, const Fn& fn) {
-  if (t <= 2) {
+  const int cap = std::max(1, g_max_threads.load(std::memory_order_relaxed));
+  if (t <= 2 || cap == 1) {
     for (int i = 0; i < t; ++i) fn(i);
     return;
   }
-  const int n_threads = std::min<int>(t, 4);
+  const int n_threads = std::min<int>(t, cap);
   std::atomic<int> next(0);
   std::vector<std::thread> pool;
   pool.reserve(n_threads);
@@ -55,6 +64,14 @@ void parallel_frames(int t, const Fn& fn) {
 }  // namespace
 
 extern "C" {
+
+void teco_set_max_threads(int32_t n) {
+  g_max_threads.store(n < 1 ? 1 : n, std::memory_order_relaxed);
+}
+
+int32_t teco_get_max_threads() {
+  return g_max_threads.load(std::memory_order_relaxed);
+}
 
 // Open a file with mmap; returns base pointer (or nullptr) and size.
 #include <fcntl.h>

@@ -8,11 +8,12 @@ path. ctypes releases the GIL during calls, so loader worker threads scale.
 from __future__ import annotations
 
 import ctypes
+import os
 import os.path as osp
 
 import numpy as np
 
-__all__ = ["load_library", "NativeBlob"]
+__all__ = ["load_library", "NativeBlob", "set_assembler_threads"]
 
 _LIB = None
 _TRIED = False
@@ -51,9 +52,13 @@ def load_library():
     # fallback instead of AttributeError-ing deep inside a loader worker
     for sym in ("teco_mmap_open", "teco_mmap_close",
                 "teco_assemble_clip_f32", "teco_assemble_clip_u8",
-                "teco_assemble_clip_aug_f32", "teco_assemble_clip_aug_u8"):
+                "teco_assemble_clip_aug_f32", "teco_assemble_clip_aug_u8",
+                "teco_set_max_threads", "teco_get_max_threads"):
         if not hasattr(lib, sym):
             return None
+    lib.teco_set_max_threads.argtypes = [ctypes.c_int32]
+    lib.teco_get_max_threads.restype = ctypes.c_int32
+    lib.teco_get_max_threads.argtypes = []
     lib.teco_mmap_open.restype = ctypes.c_void_p
     lib.teco_mmap_open.argtypes = [ctypes.c_char_p,
                                    ctypes.POINTER(ctypes.c_int64)]
@@ -78,8 +83,30 @@ def load_library():
     ]
     lib.teco_assemble_clip_aug_f32.argtypes = aug_sig
     lib.teco_assemble_clip_aug_u8.argtypes = aug_sig
+    env_threads = os.environ.get("TECOGAN_LOADER_THREADS")
+    if env_threads:
+        try:
+            lib.teco_set_max_threads(int(env_threads))
+        except ValueError:
+            raise ValueError(
+                f"TECOGAN_LOADER_THREADS={env_threads!r} is not an int")
     _LIB = lib
     return _LIB
+
+
+def set_assembler_threads(n: int) -> None:
+    """Cap the per-sample assembly thread count (default 4).
+
+    The Python TrainLoader already parallelises over SAMPLES with
+    num_worker threads, so the effective host thread demand is
+    num_workers * n; 4 suits a single-chip host, while a pod host feeding
+    a dp-sharded global batch of 16-32 clips should raise it (SURVEY.md
+    §7 hard part 8). Also settable before first use via the
+    TECOGAN_LOADER_THREADS environment variable."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native loader not built (run `make -C native`)")
+    lib.teco_set_max_threads(int(n))
 
 
 _AUG_COEFFS = {}

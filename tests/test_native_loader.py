@@ -139,3 +139,31 @@ def test_train_loader_slot_path_matches_per_sample_assembly(store, tmp_path,
                         want.setdefault(k, []).append(v)
                 for k in want:
                     np.testing.assert_array_equal(got[k], np.stack(want[k]))
+
+
+def test_thread_knob_changes_cap_and_keeps_outputs_identical(store, rng):
+    """The per-sample assembly thread cap (VERDICT r3 next-step #6:
+    a pod host feeding a dp-sharded global batch needs to scale assembly
+    beyond the single-chip default of 4) is settable at runtime and has
+    zero effect on the assembled bytes."""
+    import ctypes
+
+    from tecogan_tpu.data.native import set_assembler_threads
+
+    lib = load_library()
+    assert lib.teco_get_max_threads() == 4  # documented default
+
+    keys = [k for k in store.keys if k.startswith("b_")][:6]
+    tops = rng.integers(0, 8, size=6).astype(np.int32)
+    lefts = rng.integers(0, 16, size=6).astype(np.int32)
+    base = store.clip_f32(keys, tops, lefts, 24, 24)
+    try:
+        for n in (1, 2, 16):
+            set_assembler_threads(n)
+            assert lib.teco_get_max_threads() == n
+            np.testing.assert_array_equal(
+                store.clip_f32(keys, tops, lefts, 24, 24), base)
+        set_assembler_threads(0)  # clamped, never a zero-thread deadlock
+        assert lib.teco_get_max_threads() == 1
+    finally:
+        set_assembler_threads(4)
