@@ -22,6 +22,16 @@ fi
 
 mkdir -p "${exp_dir}/train"
 
+# optional code backup into the experiment dir (reference train.sh:35-38:
+# its `debug` flag copies codes/); enable with BACKUP_CODE=1
+if [ "${BACKUP_CODE:-0}" != "0" ]; then
+  suffix=""
+  [ "$start_iter" -gt 0 ] && suffix="_iter${start_iter}"
+  cp -r "$(dirname "$0")/tecogan_tpu" \
+    "${exp_dir}/train/code_backup${suffix}"
+  echo ">> code tree backed up to ${exp_dir}/train/code_backup${suffix}"
+fi
+
 yml=train.yml
 if [ "$start_iter" -gt 0 ]; then
   if [ -f "${exp_dir}/train_iter${start_iter}.yml" ]; then
