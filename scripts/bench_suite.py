@@ -15,7 +15,7 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def _fps_infer(dtype):
+def _fps_infer(dtype, scale=4, degradation="BD"):
     import jax
     import jax.numpy as jnp
 
@@ -23,7 +23,7 @@ def _fps_infer(dtype):
         FRNetConfig, infer_sequence, init_frnet)
 
     t, h, w = 64, 134, 320
-    cfg = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD",
+    cfg = FRNetConfig(nf=64, nb=10, scale=scale, degradation=degradation,
                       compute_dtype=dtype)
     params = init_frnet(jax.random.PRNGKey(0), cfg)
     lr = jax.random.uniform(jax.random.PRNGKey(1), (t, h, w, 3), jnp.float32)
@@ -73,11 +73,15 @@ def _fps_infer_batch(n_streams: int):
 
 
 def build_train_case(model, mixed_precision=False, train_unroll=None,
-                     remat=True, donate=True):
+                     remat=True, donate=True, scale=4, degradation="BD"):
     """The reference-geometry train-step case (batch 4 x 10 frames x
     128^2-GT-crop) shared by the benchmark suite and trace_report (one
     copy of the recipe — a geometry/TrainConfig change stays in sync
     between the benchmark and the trace that explains it).
+
+    BD carries the 8px blur border on GT (136^2, LR made on-device inside
+    the step); BI is the paired pipeline (128^2 GT + pre-degraded LR in
+    the batch), matching `experiments_BI/*/train.yml`.
 
     Returns (step, state, batch, vgg) — vgg is None for frvsr."""
     import jax
@@ -92,12 +96,22 @@ def build_train_case(model, mixed_precision=False, train_unroll=None,
 
     mesh = get_mesh()
     rng = np.random.default_rng(0)
-    batch = {"gt": jax.device_put(
-        (rng.random((4, 10, 136, 136, 3)) * 255).astype(np.uint8),
-        batch_sharding(mesh))}
-    cfg_g = FRNetConfig(nf=64, nb=10, scale=4, degradation="BD",
+    if degradation == "BD":
+        batch = {"gt": jax.device_put(
+            (rng.random((4, 10, 136, 136, 3)) * 255).astype(np.uint8),
+            batch_sharding(mesh))}
+    else:
+        lhw = 128 // scale
+        batch = {"gt": jax.device_put(
+            (rng.random((4, 10, 128, 128, 3)) * 255).astype(np.uint8),
+            batch_sharding(mesh)),
+            "lr": jax.device_put(
+                (rng.random((4, 10, lhw, lhw, 3)) * 255).astype(np.uint8),
+                batch_sharding(mesh))}
+    cfg_g = FRNetConfig(nf=64, nb=10, scale=scale, degradation=degradation,
                         train_unroll=train_unroll, remat=remat)
-    base = dict(scale=4, degradation="BD", sigma=1.5, tempo_extent=10,
+    base = dict(scale=scale, degradation=degradation, sigma=1.5,
+                tempo_extent=10,
                 mixed_precision=mixed_precision,
                 pixel_crit={"type": "CB", "weight": 1, "reduction": "mean"},
                 warping_crit={"type": "CB", "weight": 1, "reduction": "mean"})
@@ -114,7 +128,8 @@ def build_train_case(model, mixed_precision=False, train_unroll=None,
             **donate_kw)
         vgg = None
     else:
-        cfg_d = STNetConfig(spatial_size=128, degradation="BD", scale=4)
+        cfg_d = STNetConfig(spatial_size=128, degradation=degradation,
+                            scale=scale)
         tcfg = TrainConfig(
             **base,
             feature_crit={"type": "CosineSimilarity", "weight": 0.2,
@@ -136,10 +151,10 @@ def build_train_case(model, mixed_precision=False, train_unroll=None,
 
 
 def _train_iter(model, mixed_precision=False, report_mfu=False,
-                train_unroll=None, remat=True):
+                train_unroll=None, remat=True, scale=4, degradation="BD"):
     step, state, batch, vgg = build_train_case(
         model, mixed_precision=mixed_precision, train_unroll=train_unroll,
-        remat=remat)
+        remat=remat, scale=scale, degradation=degradation)
     if vgg is None:
         run = lambda s: step(s, batch)
     else:
@@ -227,6 +242,15 @@ def main():
                  f"{fps_b4:.1f} frames/s aggregate",
                  "~1.2x over 1 stream: one stream already deploys the "
                  "chip at this shape (PARITY.md round-3 serving analysis)"))
+    # model-family matrix (BASELINE.md north star covers 2x and 4x under
+    # BD and BI): same 134x320 LR protocol, bf16 streaming
+    for scale, deg in ((2, "BD"), (4, "BI"), (2, "BI")):
+        fps = _fps_infer("bfloat16", scale=scale, degradation=deg)
+        note = ("one upsample stage" if scale == 2 else
+                "bilinear residual path")
+        rows.append((f"{scale}x SR streaming inference, 134x320 LR, bf16, "
+                     f"{deg}", f"{fps:.1f} frames/s",
+                     f"family matrix: {note}"))
     t_fr = _train_iter("frvsr", mixed_precision=True)
     rows.append(("FRVSR train step (batch 4 x 10 frames x 128^2 GT, "
                  "mixed precision — the default)",
@@ -239,6 +263,16 @@ def main():
                  f"{t_mx * 1000:.1f} ms/iter = {4 / t_mx:.1f} clips/s",
                  f"{fps_mx / 1e12:.1f} TF/s sustained = "
                  f"{100 * fps_mx / 197e12:.0f}% of bf16 peak"))
+    # GAN-step train row per model family (2x/BI geometry from the
+    # shipped experiments_BD|BI configs: BI is the paired 128^2-GT +
+    # pre-degraded-LR pipeline, BD degrades on-device)
+    for scale, deg in ((2, "BD"), (4, "BI"), (2, "BI")):
+        t_f = _train_iter("tecogan", mixed_precision=True, scale=scale,
+                          degradation=deg)
+        rows.append((f"TecoGAN GAN step, {scale}x {deg} (batch 4 x 10 "
+                     "frames x 128^2 GT, mixed precision)",
+                     f"{t_f * 1000:.1f} ms/iter = {4 / t_f:.1f} clips/s",
+                     "family matrix"))
     t_nr = _train_iter("tecogan", mixed_precision=True, remat=False)
     rows.append(("TecoGAN GAN step, generator.remat: false (memory is "
                  "ample at this geometry)",

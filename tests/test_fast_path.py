@@ -335,3 +335,50 @@ def test_tail_order_rejected_on_alt_layouts(rng):
     with pytest.raises(ValueError, match="fold_streams"):
         infer_sequence_batch(params, lr, cfg, chunk=3, fold_streams=True,
                              tail_order="step_u8", _fold_interpret=True)
+
+
+@pytest.mark.parametrize("scale,degradation",
+                         [(2, "BD"), (4, "BI"), (2, "BI")])
+def test_infer_sequence_family_matrix_matches_torch_oracle(rng, scale,
+                                                           degradation):
+    """End-to-end streaming inference for the non-flagship model families
+    (2x BD, 4x BI, 2x BI — BASELINE.md north star) against the torch
+    per-frame oracle: the packed fast paths' geometry differs per scale
+    (one upsample stage at 2x) and per degradation (bilinear residual for
+    BI), so 4x-BD-only coverage would leave 3 of the 4 shipped families
+    unproven end to end (`tecogan_nets.py` FRNet.infer_sequence)."""
+    import torch
+
+    from tecogan_tpu.models import convert
+    from tecogan_tpu.models.networks import FRNetConfig, infer_sequence
+    from tecogan_tpu.ops import float32_to_uint8
+    from torch_oracles import TorchFRNet
+
+    def sd_numpy(module):
+        return {k: v.numpy() for k, v in module.state_dict().items()}
+
+    cfg = FRNetConfig(nf=16, nb=2, scale=scale, degradation=degradation,
+                      compute_dtype="float32", remat=False)
+    tnet = TorchFRNet(3, 3, cfg.nf, cfg.nb, scale, degradation).eval()
+    params = convert.convert_frnet(sd_numpy(tnet), cfg.nb, scale)
+    t, h, w = 5, 16, 24
+    lr = (rng.random((t, h, w, 3)).astype(np.float32) * 0.8 + 0.1)
+
+    got = np.asarray(infer_sequence(params, jnp.asarray(lr), cfg, chunk=3))
+
+    with torch.no_grad():
+        lr_t = torch.from_numpy(np.moveaxis(lr, -1, 1))
+        s = scale
+        outs = [tnet.srnet(lr_t[:1], torch.zeros(1, s * s * 3, h, w),
+                           tnet.up)]
+        for i in range(1, t):
+            outs.append(tnet.step(lr_t[i:i + 1], lr_t[i - 1:i], outs[-1]))
+        want_f = np.moveaxis(torch.cat(outs).numpy(), 1, -1)
+    want = np.asarray(float32_to_uint8(jnp.asarray(want_f)))
+
+    assert got.shape == want.shape == (t, s * h, s * w, 3)
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    # fp32 conv accumulation-order differences can flip the uint8
+    # rounding on a handful of pixels; anything structural is >1
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.01
