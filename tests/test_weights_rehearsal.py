@@ -158,3 +158,53 @@ def test_pth_to_five_column_csv_dress_rehearsal(tmp_path, rng, monkeypatch):
     assert 0.0 < frame_avg["FrameAvg_LPIPS"]
     assert 0.0 <= frame_avg["FrameAvg_tLP100"]
     assert frame_avg["FrameAvg_PSNR"] > 5.0
+
+
+@pytest.mark.skipif(not osp.exists(_REF_LIN),
+                    reason="reference LPIPS lin heads not present")
+def test_run_parity_one_command(tmp_path, rng, monkeypatch):
+    """The documented one-command parity runbook (docs/PARITY_RUNBOOK.md,
+    scripts/run_parity.py): synthesized reference-format checkpoint +
+    GT tree in, measured-vs-published comparison table out. The day real
+    weights/data are reachable this exact command executes the BASELINE.md
+    north-star claim."""
+    monkeypatch.chdir(tmp_path)
+
+    net = TorchFRNet(nf=8, nb=2, scale=4)
+    torch.save(net.state_dict(), str(tmp_path / "G_iter2.pth"))
+
+    # LPIPS weights into the documented search path -> all five columns
+    lp_dir = tmp_path / "pretrained_models" / "lpips"
+    lp_dir.mkdir(parents=True)
+    torch.save({k: torch.from_numpy(v)
+                for k, v in rand_alexnet_sd(rng).items()},
+               str(lp_dir / "alexnet.pth"))
+    shutil.copy(_REF_LIN, str(lp_dir / "alex.pth"))
+
+    gt_root = tmp_path / "data" / "Vid4" / "GT"
+    for seq in ("calendar", "city"):
+        seq_dir = gt_root / seq
+        seq_dir.mkdir(parents=True)
+        base = (rng.random((48, 56, 3)) * 255).astype(np.uint8)
+        for i in range(8):
+            cv2.imwrite(str(seq_dir / f"{i:04d}.png"),
+                        np.roll(base, i * 2, axis=1)[..., ::-1])
+
+    sys.path.insert(0, osp.join(_REPO, "scripts"))
+    try:
+        import run_parity
+    finally:
+        sys.path.pop(0)
+
+    run_parity.main(["--ckpt", str(tmp_path / "G_iter2.pth"),
+                     "--gt_root", str(gt_root),
+                     "--degradation", "BD", "--scale", "4",
+                     "--model", "FRVSR", "--nf", "8", "--nb", "2",
+                     "--workdir", str(tmp_path / "parity_run")])
+
+    csv_path = (tmp_path / "parity_run" / "results" / "Vid4" /
+                "FRVSR_BD_G_iter2" / "metric_log" / "metrics.csv")
+    assert csv_path.exists()
+    frame_avg = run_parity.parse_frame_avg(str(csv_path))
+    for col in ("PSNR", "SSIM", "LPIPS", "tOF", "tLP100"):
+        assert np.isfinite(frame_avg[col]), frame_avg
