@@ -46,8 +46,8 @@ __all__ = ["backward_warp_pallas"]
 _TH, _TW = 32, 128
 
 
-def _warp_kernel(fy_ref, fx_ref, img_ref, out_ref, *, c: int, th: int,
-                 tw: int, h: int, w: int, hp: int, wp: int,
+def _warp_kernel(fy_ref, fx_ref, img_ref, out_ref, acc_ref, *, c: int,
+                 th: int, tw: int, h: int, w: int, hp: int, wp: int,
                  tiles_per_band: int = 0):
     """Per output tile:
 
@@ -78,8 +78,12 @@ def _warp_kernel(fy_ref, fx_ref, img_ref, out_ref, *, c: int, th: int,
         jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(
         jnp.float32)
-    syc = jnp.clip(i0 + rows + fy_ref[0], 0.0, h - 1.0)
-    sxc = jnp.clip(j0 + cols + fx_ref[0], 0.0, w - 1.0)
+    # flow tiles arrive in their producer's dtype (bf16 in the mixed-
+    # precision path) and are cast in VMEM: a bf16->f32 convert is exact,
+    # so this is bit-identical to casting on the host — minus the HBM
+    # convert pass XLA would otherwise insert around the custom call
+    syc = jnp.clip(i0 + rows + fy_ref[0].astype(jnp.float32), 0.0, h - 1.0)
+    sxc = jnp.clip(j0 + cols + fx_ref[0].astype(jnp.float32), 0.0, w - 1.0)
     y0 = jnp.floor(syc)
     x0 = jnp.floor(sxc)
     wy = syc - y0
@@ -99,8 +103,11 @@ def _warp_kernel(fy_ref, fx_ref, img_ref, out_ref, *, c: int, th: int,
 
     slab_rows = min(th + 8, hp)  # small images: the whole height
 
+    # taps accumulate in an f32 VMEM scratch and convert ONCE on the final
+    # tile write: the output buffer can be bf16 (half the HBM write + no
+    # downstream convert pass) with numerics identical to f32 output
     for ch in range(c):
-        out_ref[0, ch] = jnp.zeros((th, tw), out_ref.dtype)
+        acc_ref[ch] = jnp.zeros((th, tw), jnp.float32)
 
     def y_body(dy, _):
         dyf = dy.astype(jnp.float32)
@@ -132,20 +139,23 @@ def _warp_kernel(fy_ref, fx_ref, img_ref, out_ref, *, c: int, th: int,
                 slab = blk[:th, :]
                 g0 = jnp.take_along_axis(slab, idx0, axis=1)
                 g1 = jnp.take_along_axis(slab, idx1, axis=1)
-                out_ref[0, ch] += (w_x0 * g0 + w_x1 * g1).astype(
-                    out_ref.dtype)
+                acc_ref[ch] += w_x0 * g0 + w_x1 * g1
             return 0
 
         return jax.lax.fori_loop(b_lo, b_hi + 1, b_body, 0)
 
     jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, 0)
 
+    for ch in range(c):
+        out_ref[0, ch] = acc_ref[ch].astype(out_ref.dtype)
+
 
 def _warp_planes(planes: jnp.ndarray, flow: jnp.ndarray,
                  interpret: bool = False, band: int = 0,
                  band_valid: int = 0) -> jnp.ndarray:
     """Core: channel-major planes (n, c, h, w) + flow (n, h, w, 2) ->
-    warped fp32 planes (n, c, h, w).
+    warped planes (n, c, h, w) in the planes dtype (taps accumulate in an
+    f32 VMEM scratch regardless, so bf16 I/O costs no extra rounding).
 
     No HBM-side coordinate tensors and no halo padding: the only pads are
     the (usually zero) alignments of h to 8 and w to 128.
@@ -157,10 +167,11 @@ def _warp_planes(planes: jnp.ndarray, flow: jnp.ndarray,
     band % 32 == 0 and h % band == 0.
     """
     n, c, h, w = planes.shape
-    ft = jnp.float32
 
-    fy = flow[..., 1].astype(ft)
-    fx = flow[..., 0].astype(ft)
+    # no host-side f32 cast: the kernel casts flow tiles in VMEM (exact),
+    # so a bf16 flow crosses HBM at half the bytes with no convert pass
+    fy = flow[..., 1]
+    fx = flow[..., 0]
 
     # align spatial dims to tile multiples (the padded outputs' coords clamp
     # inside the valid box; their outputs are discarded). Known cost, not
@@ -209,7 +220,8 @@ def _warp_planes(planes: jnp.ndarray, flow: jnp.ndarray,
         out_specs=pl.BlockSpec((1, c, _TH, _TW),
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), planes.dtype),
+        scratch_shapes=[pltpu.VMEM((c, _TH, _TW), jnp.float32)],
         interpret=interpret,
     )(fy, fx, planes)
 
