@@ -197,9 +197,11 @@ def _loader_rate(tmpdir, batch_size=4, num_workers=4, threads=None):
     ds = UnpairedClipDataset(tmpdir, crop_size=136, tempo_extent=10,
                              moving_first_frame=True, moving_factor=0.7,
                              output_dtype=np.uint8)
+    prior_threads = None
     if threads is not None:
-        from tecogan_tpu.data.native import set_assembler_threads
+        from tecogan_tpu.data.native import load_library, set_assembler_threads
 
+        prior_threads = load_library().teco_get_max_threads()
         set_assembler_threads(threads)
     try:
         loader = TrainLoader(ds, batch_size=batch_size, seed=0,
@@ -210,10 +212,10 @@ def _loader_rate(tmpdir, batch_size=4, num_workers=4, threads=None):
                 n += 1
         return batch_size * n / (time.perf_counter() - t0)
     finally:
-        if threads is not None:
-            from tecogan_tpu.data.native import set_assembler_threads
-
-            set_assembler_threads(4)
+        if prior_threads is not None:
+            # restore the PRIOR cap, not the compiled default — a
+            # TECOGAN_LOADER_THREADS override must survive this row
+            set_assembler_threads(prior_threads)
 
 
 _MANUAL_MARKER = ("<!-- manual evidence below: preserved across "

@@ -141,15 +141,28 @@ def main(argv=None):
     off_dir = osp.join(args.workdir, "results", args.dataset, model_tag)
     if osp.isdir(off_dir):
         shutil.rmtree(off_dir)
-    os.makedirs(osp.dirname(off_dir), exist_ok=True)
-    shutil.copytree(res_root, off_dir)
+    os.makedirs(off_dir)
+    # symlink each sequence dir instead of copying hundreds of full-res
+    # PNGs byte-for-byte (off_dir itself stays real: metric_log lands here)
+    for seq in sorted(os.listdir(res_root)):
+        src = osp.join(res_root, seq)
+        if osp.isdir(src):
+            os.symlink(osp.abspath(src), osp.join(off_dir, seq))
 
     # 4. official metric harness (same layout contract as the reference:
     # results/<DS>/<MODEL>/ + data/<DS>/GT under one cwd)
     gt_link = osp.join(args.workdir, "data", args.dataset, "GT")
     os.makedirs(osp.dirname(gt_link), exist_ok=True)
-    if not osp.exists(gt_link):
-        os.symlink(osp.abspath(args.gt_root), gt_link)
+    # recreate unconditionally: a leftover link from a previous run would
+    # silently score against a STALE gt_root (and a dangling one fails
+    # osp.exists yet still breaks os.symlink)
+    if osp.islink(gt_link) or osp.exists(gt_link):
+        if osp.isdir(gt_link) and not osp.islink(gt_link):
+            raise SystemExit(
+                f"{gt_link} is a real directory (expected a symlink managed "
+                "by this script) — refusing to replace it")
+        os.remove(gt_link)
+    os.symlink(osp.abspath(args.gt_root), gt_link)
 
     from tecogan_tpu.official_metrics.metrics import evaluate_folders
 
@@ -161,11 +174,14 @@ def main(argv=None):
 
     # 5. side-by-side vs the published row
     got = parse_frame_avg(osp.join(off_dir, "metric_log", "metrics.csv"))
-    ref = REFERENCE_ROWS.get((args.dataset, args.model, args.degradation))
+    # every published row is 4x (BASELINE.md: "All rows are 4x SR"); a 2x
+    # run must not be scored against the 4x numbers
+    ref = (REFERENCE_ROWS.get((args.dataset, args.model, args.degradation))
+           if args.scale == 4 else None)
     print(f"\n=== {model_tag} on {args.dataset} ({len(seqs)} sequences) ===")
     if ref is None:
-        print("(no published reference row for this dataset/model/"
-              "degradation — measured values only)")
+        print(f"(no published reference row for this dataset/model/"
+              f"degradation at {args.scale}x — measured values only)")
     width = max(len(k) for k in got)
     for k, v in got.items():
         line = f"  {k:<{width}}  measured {v:8.4f}"

@@ -322,7 +322,11 @@ def pair_srnet_params(params, in_nc: int, scale: int, nb: int):
             zz = jnp.zeros_like(wk)
             hrs.append(jnp.concatenate([wk, zz] if q == 0 else [zz, wk],
                                        axis=3))
-    pp["w_hr2"] = hrs  # colour ch of stream q -> output block q
+    # ONE (3s, 3, 2c*s, 2nf) folded kernel (input features in ch2*s+px
+    # order, matching the apply's concat of free plane reshapes): the
+    # per-channel chained formulation is emitter-bound on TPU — same
+    # fusion as srnet_apply_planes' single s*c-feature conv
+    pp["w_hr2"] = jnp.concatenate(hrs, axis=2)
     for bi in range(nb):
         for half in (0, 1):
             src = params[f"res{bi}_{half}"]
@@ -358,11 +362,12 @@ def srnet_apply_planes_paired(pp, params, lr_curr, warped_planes, nb: int,
     out = jax.lax.conv_general_dilated(
         lr_pair, pp["w_lr2"].astype(lr_pair.dtype), (1, 1),
         ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    for ch2 in range(2 * c):
-        xf = planes_pair[:, ch2].reshape(m, s * h, w, s)
-        out = out + jax.lax.conv_general_dilated(
-            xf, pp["w_hr2"][ch2].astype(xf.dtype), (s, 1),
-            ((s, s), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    xf = jnp.concatenate(
+        [planes_pair[:, ch2].reshape(m, s * h, w, s)  # free reshape
+         for ch2 in range(2 * c)], axis=-1)
+    out = out + jax.lax.conv_general_dilated(
+        xf, pp["w_hr2"].astype(xf.dtype), (s, 1),
+        ((s, s), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
     out = nn.relu(out + pp["b_in2"].astype(out.dtype))
 
     for bi in range(nb):

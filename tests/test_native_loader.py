@@ -147,11 +147,16 @@ def test_thread_knob_changes_cap_and_keeps_outputs_identical(store, rng):
     beyond the single-chip default of 4) is settable at runtime and has
     zero effect on the assembled bytes."""
     import ctypes
+    import os
 
     from tecogan_tpu.data.native import set_assembler_threads
 
     lib = load_library()
-    assert lib.teco_get_max_threads() == 4  # documented default
+    prior = lib.teco_get_max_threads()
+    if "TECOGAN_LOADER_THREADS" not in os.environ:
+        # documented compiled-in default (an env override legitimately
+        # changes the import-time cap; don't fail the feature's own test)
+        assert prior == 4
 
     keys = [k for k in store.keys if k.startswith("b_")][:6]
     tops = rng.integers(0, 8, size=6).astype(np.int32)
@@ -166,4 +171,4 @@ def test_thread_knob_changes_cap_and_keeps_outputs_identical(store, rng):
         set_assembler_threads(0)  # clamped, never a zero-thread deadlock
         assert lib.teco_get_max_threads() == 1
     finally:
-        set_assembler_threads(4)
+        set_assembler_threads(prior)

@@ -27,6 +27,9 @@ mkdir -p "${exp_dir}/train"
 if [ "${BACKUP_CODE:-0}" != "0" ]; then
   suffix=""
   [ "$start_iter" -gt 0 ] && suffix="_iter${start_iter}"
+  # refresh, don't nest: cp -r into an existing dir would copy the tree
+  # INSIDE it, mixing the old snapshot with the new one
+  rm -rf "${exp_dir}/train/code_backup${suffix}"
   cp -r "$(dirname "$0")/tecogan_tpu" \
     "${exp_dir}/train/code_backup${suffix}"
   echo ">> code tree backed up to ${exp_dir}/train/code_backup${suffix}"
