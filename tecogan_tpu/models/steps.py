@@ -279,6 +279,13 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
     # === G forward (once; reused by D phase and G losses) ===
     from .. import nn
 
+    if vgg_params is not None and tcfg.mixed_precision:
+        # run the perceptual-loss VGG in the compute dtype too — its
+        # weights are frozen (loss-only), so this is a pure-throughput
+        # cast; without it every VGG conv (and its maxpool VJP) runs f32
+        # on [n*t_all, gh, gw, 64..512] tensors, ~15% of the GAN step
+        vgg_params = nn.cast_params(vgg_params, dt)
+
     def g_fwd(pg):
         if tcfg.mixed_precision:
             pg = nn.cast_params(pg, dt)
