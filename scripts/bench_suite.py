@@ -242,8 +242,10 @@ def main():
     fps_b4 = _fps_infer_batch(4)
     rows.append(("4x SR batched serving, 4 concurrent streams, bf16",
                  f"{fps_b4:.1f} frames/s aggregate",
-                 "~1.2x over 1 stream: one stream already deploys the "
-                 "chip at this shape (PARITY.md round-3 serving analysis)"))
+                 f"{fps_b4 / fps16:.2f}x one stream's throughput: a single "
+                 "stream already deploys the chip at this shape, so serve "
+                 "concurrent clips sequentially, not batched (PARITY.md "
+                 "round-3 serving analysis)"))
     # model-family matrix (BASELINE.md north star covers 2x and 4x under
     # BD and BI): same 134x320 LR protocol, bf16 streaming
     for scale, deg in ((2, "BD"), (4, "BI"), (2, "BI")):

@@ -23,8 +23,12 @@ flow gradient vanishes — exactly what the gather path's clamped indices
 produce (its unclamped fractional weights multiply zero differences).
 
 All kernels work on the channel-interleaved flat layout (h, w*c) — a FREE
-reshape of NHWC — so no layout changes surround them. Everything is fp32
-in-kernel (training compute dtype).
+reshape of NHWC — so no layout changes surround them. Image and cotangent
+operands cross HBM in their OWN dtype (bf16 in the mixed-precision step)
+and are converted to fp32 in VMEM after load — the convert is exact, all
+in-kernel math and accumulation stay fp32, so bf16 I/O halves the
+image/cotangent traffic with bit-identical results. Flow lanes stay fp32
+(bf16 cannot resolve subpixel offsets at large magnitudes).
 """
 
 from __future__ import annotations
@@ -116,7 +120,9 @@ def _dimage_kernel(fy_ref, fx_ref, g_ref, out_ref, *, c: int, th: int,
     dx_lo = jnp.min(dxc_r).astype(jnp.int32)
     dx_hi = jnp.max(dxc_r).astype(jnp.int32) + 1
 
-    g_t = g_ref[0]
+    # cotangent arrives in its own dtype (bf16 under mixed precision) and
+    # is converted after the VMEM load — exact, halves the HBM read
+    g_t = g_ref[0].astype(jnp.float32)
     slab = min(th + 8, hp)
     pad_r = slab - th
 
@@ -154,7 +160,7 @@ def _dimage(g, flow, c: int, h: int, w: int, interpret: bool = False):
     wp = -(-w // _TW) * _TW
     wpc = wp * c
     fy, fx = _lane_flow(flow, c, hp, wp)
-    gl = _pad_img(g.astype(jnp.float32), hp, wp)
+    gl = _pad_img(g, hp, wp)
 
     grid = (n, hp // _TH)
     out = pl.pallas_call(
@@ -272,7 +278,7 @@ def _dflow_kernel(fy_ref, fx_ref, g_ref, img_ref, dfy_ref, dfx_ref, *,
     # differ (y0=0, y1=1) but the function is constant in the flow, so the
     # gradient must be masked; at the UPPER clamp the taps coincide
     # (y1 = min(y0+1, h-1) = y0) and the difference self-zeroes.
-    g_t = g_ref[0]
+    g_t = g_ref[0].astype(jnp.float32)
     m_x = jnp.where(px_abs + fx_ref[0] >= 0.0, 1.0, 0.0)
     m_yc = jnp.where(i0 + rows + fy_ref[0] >= 0.0, 1.0, 0.0)
     dfx_ref[0] = g_t * m_x * ((1.0 - wy) * (a01 - a00) + wy * (a11 - a10))
@@ -286,8 +292,8 @@ def _dflow(g, x, flow, interpret: bool = False):
     wp = -(-w // _TW) * _TW
     wcp = wp * c
     fy, fx = _lane_flow(flow, c, hp, wp)
-    gl = _pad_img(g.astype(jnp.float32), hp, wp)
-    xi = _pad_img(x.astype(jnp.float32), hp, wp)
+    gl = _pad_img(g, hp, wp)
+    xi = _pad_img(x, hp, wp)  # the kernel casts after its VMEM loads
 
     grid = (n, hp // _TH, wp // _TW)
     dfy_l, dfx_l = pl.pallas_call(
@@ -329,9 +335,10 @@ def _dflow(g, x, flow, interpret: bool = False):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _warp_cvjp(x, flow, interpret):
     n, h, w, c = x.shape
+    # x crosses HBM in its own dtype (the warp kernel converts to f32
+    # after the VMEM load and accumulates taps in f32 — exact)
     out = backward_warp_rgb_flat(
-        x.astype(jnp.float32).reshape(n, h, w * c), flow, c,
-        interpret=interpret)
+        x.reshape(n, h, w * c), flow, c, interpret=interpret)
     return out.reshape(n, h, w, c).astype(x.dtype)
 
 

@@ -80,3 +80,36 @@ def test_warp_vjp_bf16_inputs(rng):
     gx, gf = jax.grad(loss, (0, 1))(x, flow)
     assert gx.dtype == jnp.bfloat16 and gf.dtype == jnp.float32
     assert bool(jnp.isfinite(gf).all())
+
+
+def test_warp_vjp_bf16_io_exact_vs_upcast_first(rng):
+    """bf16 I/O is a pure-traffic change: the kernels convert to f32 after
+    the VMEM load and do all math/accumulation in f32, so feeding bf16
+    values directly must give EXACTLY the same results as upcasting those
+    same bf16 values to f32 at the boundary (the pre-bf16-I/O behavior)."""
+    n, h, w, c = 2, 33, 40, 3
+    x16 = jnp.asarray(rng.random((n, h, w, c)), jnp.bfloat16)
+    flow = jnp.asarray((rng.random((n, h, w, 2)) - 0.5) * 7, jnp.float32)
+    flow = flow.at[:, :2, :2].set(19.0).at[:, -2:, -2:].set(-21.0)
+
+    def loss16(x, fl):
+        return jnp.sum(jnp.sin(
+            backward_warp_diff(x, fl, interpret=True).astype(jnp.float32)))
+
+    def loss32(x, fl):
+        return jnp.sum(jnp.sin(
+            backward_warp_diff(x, fl, interpret=True)
+            .astype(jnp.bfloat16).astype(jnp.float32)))
+
+    out16 = backward_warp_diff(x16, flow, interpret=True)
+    out32 = backward_warp_diff(x16.astype(jnp.float32), flow,
+                               interpret=True).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(out16, np.float32), np.asarray(out32, np.float32))
+
+    gx16, gf16 = jax.grad(loss16, (0, 1))(x16, flow)
+    gx32, gf32 = jax.grad(loss32, (0, 1))(x16.astype(jnp.float32), flow)
+    np.testing.assert_array_equal(np.asarray(gx16, np.float32),
+                                  np.asarray(gx32.astype(jnp.bfloat16),
+                                             np.float32))
+    np.testing.assert_array_equal(np.asarray(gf16), np.asarray(gf32))
