@@ -1,0 +1,96 @@
+"""AOT export/load of the streaming-inference step for serving.
+
+`jax.export` serializes the lowered StableHLO of the jitted streaming
+step; a serving process deserializes and calls it without retracing
+Python or re-running the (multi-minute, geometry-dependent) XLA
+autotuning cold-start — the compile still happens once at load, but
+from the stable artifact, with no tecogan_tpu model code needed on the
+serving host beyond this module.
+
+The reference has no deployment story beyond re-running its test
+entrypoint (`/root/reference/codes/main.py:71-104` reloads + re-builds
+the torch graph per process); this is a TPU-native addition.
+
+Artifacts are exported for explicit platforms (default: the current
+backend) at a FIXED geometry (t, h, w) — serving deployments have a
+known camera/stream geometry, and static shapes are what let XLA pick
+the fast packed kernels. Export one artifact per geometry.
+"""
+
+from __future__ import annotations
+
+import functools
+import io
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from .models.networks import FRNetConfig, infer_sequence_batch
+
+__all__ = ["export_stream", "load_stream", "save_artifact",
+           "load_artifact"]
+
+_MAGIC = b"TECOSRV1"
+
+
+def _stream_fn(cfg: FRNetConfig, chunk: int):
+    def run(params, lr_seqs):
+        return infer_sequence_batch(params, lr_seqs, cfg, chunk)
+    return run
+
+
+def export_stream(params, cfg: FRNetConfig, n: int, t: int, h: int, w: int,
+                  chunk: int = 16, platforms=None) -> bytes:
+    """Serialize the jitted streaming step for ``n`` concurrent streams of
+    ``t`` frames at LR (h, w); returns the artifact bytes.
+
+    ``params`` fixes only the pytree STRUCTURE and dtypes — the serving
+    process passes its own weights at call time (same tree).
+    """
+    fn = jax.jit(_stream_fn(cfg, chunk))
+    lr_spec = jax.ShapeDtypeStruct((n, t, h, w, 3), jnp.float32)
+    p_spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        params)
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    exp = jax_export.export(fn, **kw)(p_spec, lr_spec)
+    return exp.serialize()
+
+
+def load_stream(blob: bytes):
+    """Deserialize an ``export_stream`` artifact -> callable
+    ``(params, lr_seqs) -> uint8 (n, t, sh, sw, 3)`` (jit-wrapped, so the
+    underlying executable is compiled once and cached)."""
+    exp = jax_export.deserialize(blob)
+    return jax.jit(exp.call)
+
+
+def save_artifact(path: str, blob: bytes, meta: dict | None = None) -> None:
+    """Write the artifact with a small npz sidecar header (geometry +
+    config echo) so a serving host can validate inputs before calling."""
+    buf = io.BytesIO()
+    np.savez(buf, blob=np.frombuffer(blob, np.uint8),
+             meta=np.asarray(repr(meta or {})))
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(buf.getvalue())
+
+
+def load_artifact(path: str):
+    """Read a ``save_artifact`` file -> (callable, meta dict)."""
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(
+                f"{path} is not a tecogan serving artifact (bad magic "
+                f"{magic!r})")
+        data = f.read()
+    z = np.load(io.BytesIO(data), allow_pickle=False)
+    import ast
+    meta = ast.literal_eval(str(z["meta"]))
+    return load_stream(z["blob"].tobytes()), meta

@@ -1,0 +1,85 @@
+"""AOT serving export (tecogan_tpu/serving.py): export -> reload -> exact
+output parity with the live jitted path, plus the artifact file format and
+the CLI exporter."""
+
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tecogan_tpu.models.networks import (FRNetConfig, infer_sequence_batch,
+                                         init_frnet)
+from tecogan_tpu.serving import (export_stream, load_artifact, load_stream,
+                                 save_artifact)
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def small_case():
+    cfg = FRNetConfig(nf=8, nb=2, scale=4, degradation="BD")
+    params = init_frnet(jax.random.PRNGKey(0), cfg)
+    lr = jnp.asarray(np.random.default_rng(0).random((1, 5, 16, 24, 3)),
+                     jnp.float32)
+    return cfg, params, lr
+
+
+def test_export_reload_matches_live(small_case):
+    cfg, params, lr = small_case
+    blob = export_stream(params, cfg, 1, 5, 16, 24, chunk=4)
+    run = load_stream(blob)
+    got = run(params, lr)
+    want = infer_sequence_batch(params, lr, cfg, chunk=4)
+    assert got.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_artifact_roundtrip(tmp_path, small_case):
+    cfg, params, lr = small_case
+    blob = export_stream(params, cfg, 1, 5, 16, 24, chunk=4)
+    path = str(tmp_path / "m.tecosrv")
+    save_artifact(path, blob, {"h": 16, "w": 24, "scale": 4})
+    run, meta = load_artifact(path)
+    assert meta["w"] == 24 and meta["scale"] == 4
+    want = infer_sequence_batch(params, lr, cfg, chunk=4)
+    np.testing.assert_array_equal(np.asarray(run(params, lr)),
+                                  np.asarray(want))
+
+
+def test_artifact_rejects_non_artifact(tmp_path):
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"not an artifact at all")
+    with pytest.raises(ValueError, match="bad magic"):
+        load_artifact(str(p))
+
+
+def test_exported_shape_mismatch_is_loud(small_case):
+    cfg, params, lr = small_case
+    blob = export_stream(params, cfg, 1, 5, 16, 24, chunk=4)
+    run = load_stream(blob)
+    with pytest.raises(Exception):
+        jax.block_until_ready(run(params, lr[:, :, :8]))  # wrong height
+
+
+def test_cli_exporter(tmp_path, small_case):
+    cfg, params, _ = small_case
+    from tecogan_tpu.utils.ckpt import save_pytree
+    ckpt = str(tmp_path / "G_iter1.npz")
+    save_pytree(params, ckpt)
+    out = str(tmp_path / "m.tecosrv")
+    r = subprocess.run(
+        [sys.executable, osp.join(REPO, "scripts", "export_serving.py"),
+         "--ckpt", ckpt, "--out", out, "--height", "16", "--width", "24",
+         "--frames", "5", "--chunk", "4", "--nf", "8", "--nb", "2",
+         "--compute_dtype", "float32"],
+        capture_output=True, text=True,
+        env={**__import__("os").environ, "JAX_PLATFORM_NAME": "cpu"})
+    assert r.returncode == 0, r.stderr
+    assert "exported" in r.stdout
+    run, meta = load_artifact(out)
+    assert meta["nf"] == 8 and meta["t"] == 5
