@@ -19,7 +19,6 @@ the fast packed kernels. Export one artifact per geometry.
 
 from __future__ import annotations
 
-import functools
 import io
 
 import numpy as np
