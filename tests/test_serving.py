@@ -83,3 +83,18 @@ def test_cli_exporter(tmp_path, small_case):
     assert "exported" in r.stdout
     run, meta = load_artifact(out)
     assert meta["nf"] == 8 and meta["t"] == 5
+
+
+def test_export_bf16_compute_path(tmp_path):
+    """The production artifact is the bf16 streaming path — pin that the
+    exported program matches the live bf16 path exactly too."""
+    cfg = FRNetConfig(nf=8, nb=2, scale=4, degradation="BD",
+                      compute_dtype="bfloat16")
+    params = init_frnet(jax.random.PRNGKey(0), cfg)
+    lr = jnp.asarray(np.random.default_rng(1).random((1, 5, 16, 24, 3)),
+                     jnp.float32)
+    blob = export_stream(params, cfg, 1, 5, 16, 24, chunk=4)
+    run = load_stream(blob)
+    want = infer_sequence_batch(params, lr, cfg, chunk=4)
+    np.testing.assert_array_equal(np.asarray(run(params, lr)),
+                                  np.asarray(want))
