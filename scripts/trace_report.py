@@ -2,8 +2,13 @@
 
 Usage:
     python scripts/trace_report.py infer   # streaming inference (bench shape)
-    python scripts/trace_report.py tecogan # TecoGAN GAN training step
-    python scripts/trace_report.py frvsr   # FRVSR training step
+    python scripts/trace_report.py tecogan # TecoGAN GAN step, fp32 variant
+    python scripts/trace_report.py tecogan_bf16  # the DEFAULT (mixed) step
+    python scripts/trace_report.py frvsr_bf16    # FRVSR, mixed (default)
+
+NOTE: the bare model names trace the fp32 escape-hatch variant; the
+shipped default is mixed precision — suffix `_bf16` to trace the program
+the benchmarks time (and `_noremat` for generator.remat: false).
 
 Parses the XLA-op lines of the xplane proto (via tensorflow's profiler
 protos, present in this environment) and aggregates device time by HLO
