@@ -64,6 +64,13 @@ class FRNetConfig:
     # packed2 path (its tiles span a 4x larger HR footprint, inflating the
     # per-tile displacement ranges); kept opt-in for further kernel tuning.
     packed16: bool = False
+    # target platform for trace-time kernel dispatch ('tpu' | 'cpu' |
+    # None = the ambient jax.default_backend()). Cross-platform serving
+    # export sets this: an artifact exported FROM a CPU box FOR TPU must
+    # bake the TPU kernels (Pallas warp, folded s2d, full scan unroll),
+    # not whatever the exporting host's backend happens to be — and vice
+    # versa (Mosaic custom calls cannot compile on a CPU serving host).
+    platform: str | None = None
 
     @property
     def upsample_fn(self):
@@ -104,11 +111,17 @@ def _hr_flow(cfg: FRNetConfig, lr_flow: jnp.ndarray, h: int, w: int):
     return cfg.scale * cfg.upsample_fn(lr_flow)
 
 
+def _target_platform(cfg: FRNetConfig) -> str:
+    """Platform the traced program will RUN on (not necessarily the
+    exporting host's backend) — drives all trace-time kernel dispatch."""
+    return cfg.platform or jax.default_backend()
+
+
 def _pallas_ok(cfg: FRNetConfig, c: int, hh: int, ww: int) -> bool:
     """Pallas warp applies on TPU when the (alignment-padded) image fits
     VMEM (the kernel keeps the image in the compute dtype; bf16 halves the
     budget). The kernel needs no halo padding — slab reads clamp."""
-    if not cfg.pallas_warp or jax.default_backend() != "tpu":
+    if not cfg.pallas_warp or _target_platform(cfg) != "tpu":
         return False
     itemsize = 2 if cfg.compute_dtype == "bfloat16" else 4
     hp = -(-hh // 8) * 8
@@ -148,7 +161,7 @@ def _sr_step(cfg: FRNetConfig, srnet_params, lr_curr, hr_prev, hr_flow,
     re-expressions of the same convolution."""
     hr_warp = warp_fn(hr_prev, hr_flow)
     if fold_s2d is None:
-        fold_s2d = jax.default_backend() == "tpu"
+        fold_s2d = _target_platform(cfg) == "tpu"
     if fold_s2d:
         from .srnet import srnet_apply_hr
 
@@ -516,7 +529,7 @@ def forward_sequence(params, lr_data: jnp.ndarray, cfg: FRNetConfig):
     xs = (jnp.moveaxis(lr_data, 1, 0), jnp.moveaxis(flows, 1, 0))
     unroll = cfg.train_unroll
     if unroll is None:
-        unroll = True if jax.default_backend() == "tpu" else 1
+        unroll = True if _target_platform(cfg) == "tpu" else 1
     _, hr_seq = jax.lax.scan(body, hr0, xs, unroll=unroll)
     hr_data = jnp.moveaxis(hr_seq, 0, 1)  # (n, t, H, W, c)
 
@@ -564,16 +577,18 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
     (lr_prev, hr_prev) across chunks. Output frames are quantised to uint8
     on device; the caller does one D2H for everything.
 
-    Batching independent streams is the production serving mode; at the
-    reference serving shape (134x320 4x) a single stream already deploys
-    the chip's per-frame capability, so the honest aggregate gain is
-    ~1.2x at 4 streams (FNet amortisation + fixed scan overheads) — the
-    documented recipe is n <= 4 per chip at chunk ~16 (PARITY.md round-3
-    serving analysis). Two exact alternative layouts were built and
-    measured at or below this mode and are kept opt-in: ``fold_streams``
-    (streams stacked along rows with guard bands — batch-1 programs,
-    banded Pallas warp) and ``pair_streams`` (block-diagonal 2*nf trunk
-    over consecutive stream pairs).
+    At the reference serving shape (134x320 4x, bf16) a SINGLE stream
+    already deploys the chip's per-frame capability: re-measured batched
+    serving at 4 concurrent streams reaches only 0.88x of one stream's
+    throughput in aggregate (292.7 vs 332.5 FPS — the packed output tail
+    scales linearly with streams and batching adds relayout traffic;
+    BENCHMARKS.md). The documented recipe is therefore to serve
+    concurrent clips SEQUENTIALLY, not batched; n > 1 here is for
+    latency-insensitive bulk offline SR only. Two exact alternative
+    layouts were built and measured at or below this mode and are kept
+    opt-in: ``fold_streams`` (streams stacked along rows with guard
+    bands — batch-1 programs, banded Pallas warp) and ``pair_streams``
+    (block-diagonal 2*nf trunk over consecutive stream pairs).
     """
     n, t, h, w, c = lr_seqs.shape
     s = cfg.scale
@@ -625,7 +640,7 @@ def infer_sequence_batch(params, lr_seqs: jnp.ndarray, cfg: FRNetConfig,
         # serving analysis).
         fold_streams = False
     if fold_streams and not (_fold_interpret
-                             or jax.default_backend() == "tpu"):
+                             or _target_platform(cfg) == "tpu"):
         fold_streams = False  # banded warp needs the kernel (or interpret)
     if tail_order != "u8_d2s" and (use_p16 or fold_streams):
         # these opt-in layouts have their own output epilogues and would

@@ -280,10 +280,12 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
     from .. import nn
 
     if vgg_params is not None and tcfg.mixed_precision:
-        # run the perceptual-loss VGG in the compute dtype too — its
-        # weights are frozen (loss-only), so this is a pure-throughput
-        # cast; without it every VGG conv (and its maxpool VJP) runs f32
-        # on [n*t_all, gh, gw, 64..512] tensors, ~15% of the GAN step
+        # pre-cast the frozen perceptual-loss VGG weights to the compute
+        # dtype. The convs already ran bf16 without this (nn.conv2d casts
+        # weights to the input dtype, and the VGG inputs are bf16 here) —
+        # the win is eliminating the per-step f32 VGG weight HBM reads +
+        # convert ops (repeated again under the vjp), ~6 ms/step at the
+        # reference geometry
         vgg_params = nn.cast_params(vgg_params, dt)
 
     def g_fwd(pg):

@@ -2,10 +2,12 @@
 
 `jax.export` serializes the lowered StableHLO of the jitted streaming
 step; a serving process deserializes and calls it without retracing
-Python or re-running the (multi-minute, geometry-dependent) XLA
-autotuning cold-start — the compile still happens once at load, but
-from the stable artifact, with no tecogan_tpu model code needed on the
-serving host beyond this module.
+Python and without needing tecogan_tpu model code beyond this module.
+XLA still compiles the artifact once at first call on the serving host
+(including its autotuning) — a persistent compilation cache covers
+repeat cold-starts; what the artifact removes is the Python/tracing
+layer and the model-code dependency, and it pins the traced program
+(kernel choices, dtypes, geometry) exactly.
 
 The reference has no deployment story beyond re-running its test
 entrypoint (`/root/reference/codes/main.py:71-104` reloads + re-builds
@@ -19,6 +21,7 @@ the fast packed kernels. Export one artifact per geometry.
 
 from __future__ import annotations
 
+import dataclasses
 import io
 
 import numpy as np
@@ -48,7 +51,24 @@ def export_stream(params, cfg: FRNetConfig, n: int, t: int, h: int, w: int,
 
     ``params`` fixes only the pytree STRUCTURE and dtypes — the serving
     process passes its own weights at call time (same tree).
+
+    ``platforms``: target platform(s) for the artifact (default: the
+    exporting host's backend). The target platform is threaded into the
+    generator's trace-time kernel dispatch (``FRNetConfig.platform``), so
+    exporting FROM a CPU box FOR TPU bakes the fast Pallas warp path, and
+    exporting for CPU never embeds Mosaic TPU custom calls the serving
+    host could not compile.
     """
+    if platforms is not None:
+        plats = tuple(str(p).lower() for p in platforms)
+        if len(set(plats)) > 1:
+            # one artifact per platform: kernel dispatch (Pallas warp vs
+            # XLA gather, s2d folding) differs per platform, and a single
+            # traced program cannot carry both
+            raise ValueError(
+                f"export_stream targets exactly one platform per artifact "
+                f"(got {plats}); export separately per platform")
+        cfg = dataclasses.replace(cfg, platform=plats[0])
     fn = jax.jit(_stream_fn(cfg, chunk))
     lr_spec = jax.ShapeDtypeStruct((n, t, h, w, 3), jnp.float32)
     p_spec = jax.tree.map(

@@ -98,3 +98,31 @@ def test_export_bf16_compute_path(tmp_path):
     want = infer_sequence_batch(params, lr, cfg, chunk=4)
     np.testing.assert_array_equal(np.asarray(run(params, lr)),
                                   np.asarray(want))
+
+
+def test_cross_platform_export_bakes_target_kernels(small_case):
+    """Exporting FROM this (CPU) box FOR TPU must bake the TPU kernel
+    dispatch — the Pallas warp as a Mosaic custom call — instead of the
+    ambient backend's slow XLA-gather warp (ADVICE r4: a cpu-traced
+    'tpu' artifact silently shipped the ~6x slower warp). And a
+    multi-platform request is rejected: kernel dispatch differs per
+    platform, one traced program cannot carry both."""
+    from jax import export as jax_export
+
+    cfg, params, _lr = small_case
+    if jax.default_backend() == "tpu":
+        pytest.skip("needs a non-TPU exporting host to prove the threading")
+    blob = export_stream(params, cfg, 1, 5, 16, 24, chunk=4,
+                         platforms=("tpu",))
+    exp = jax_export.deserialize(blob)
+    assert exp.platforms == ("tpu",)
+    assert "tpu_custom_call" in exp.mlir_module()  # Pallas warp baked in
+
+    # and a cpu-target artifact must NOT embed Mosaic custom calls
+    blob_cpu = export_stream(params, cfg, 1, 5, 16, 24, chunk=4,
+                             platforms=("cpu",))
+    assert "tpu_custom_call" not in jax_export.deserialize(
+        blob_cpu).mlir_module()
+
+    with pytest.raises(ValueError, match="one platform"):
+        export_stream(params, cfg, 1, 5, 16, 24, platforms=("cpu", "tpu"))
