@@ -253,10 +253,19 @@ class LPIPS:
 
     ``net``: 'alex' (shipped configs), 'vgg'/'vgg16' or 'squeeze' — the
     same choices as the reference's vendored v0.1
-    (`networks_basic.py:27-101`)."""
+    (`networks_basic.py:27-101`).
 
-    def __init__(self, net: str = "alex", backbone_path=None, lin_path=None):
+    ``spatial``: when True, returns PER-PIXEL distance maps instead of
+    scalars — each stage's 1x1-head map is bilinearly upsampled
+    (half-pixel, torch align_corners=False) to the input size and the
+    stages are summed (`networks_basic.py:75-78`). Shipped configs all
+    set ``spatial: false``; the mode exists for API completeness with
+    the vendored reference."""
+
+    def __init__(self, net: str = "alex", backbone_path=None, lin_path=None,
+                 spatial: bool = False):
         self.net = net = _canon_net(net)
+        self.spatial = bool(spatial)
         auto_bb, auto_lin = find_lpips_weights(net=net)
         backbone_path = backbone_path or auto_bb
         lin_path = lin_path or auto_lin
@@ -300,10 +309,14 @@ class LPIPS:
         self._fn = jax.jit(self._distance)
 
     def _distance(self, x, y):
-        """x, y: (n, h, w, 3) in [-1, 1] -> (n,) LPIPS distances."""
+        """x, y: (n, h, w, 3) in [-1, 1] -> (n,) LPIPS distances, or
+        (n, h, w) per-pixel maps when ``spatial``."""
+        from ..ops.resize import apply_separable, resize_matrix
+
         def norm_in(v):
             return (v - _SHIFT) / _SCALE
 
+        in_h, in_w = x.shape[1], x.shape[2]
         fx = self._features(self.backbone, norm_in(x))
         fy = self._features(self.backbone, norm_in(y))
         total = 0.0
@@ -316,11 +329,19 @@ class LPIPS:
             val = jax.lax.conv_general_dilated(
                 d, jnp.asarray(head, d.dtype), (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            total = total + jnp.mean(val, axis=(1, 2, 3))
+            if self.spatial:
+                mh = resize_matrix("bilinear_fractional", val.shape[1],
+                                   out_size=in_h)
+                mw = resize_matrix("bilinear_fractional", val.shape[2],
+                                   out_size=in_w)
+                total = total + apply_separable(val, mh, mw)[..., 0]
+            else:
+                total = total + jnp.mean(val, axis=(1, 2, 3))
         return total
 
     def __call__(self, img_a: np.ndarray, img_b: np.ndarray) -> np.ndarray:
-        """uint8 RGB (h, w, c) or (n, h, w, c) images -> distances."""
+        """uint8 RGB (h, w, c) or (n, h, w, c) images -> (n,) distances,
+        or (n, h, w) per-pixel maps when ``spatial``."""
         a = np.asarray(img_a, np.float32)
         b = np.asarray(img_b, np.float32)
         if a.ndim == 3:

@@ -63,7 +63,8 @@ class MetricCalculator:
 
             try:
                 self.lpips = LPIPS(
-                    net=self.metric_opt["LPIPS"].get("net", "alex"))
+                    net=self.metric_opt["LPIPS"].get("net", "alex"),
+                    spatial=self.metric_opt["LPIPS"].get("spatial", False))
             except (FileNotFoundError, ImportError) as e:
                 # weights unavailable (offline env) or torch absent for a
                 # .pth load: skip LPIPS, keep the rest of the metric stack
@@ -108,8 +109,14 @@ class MetricCalculator:
                 elif mtype == "SSIM":
                     per_frame["SSIM"].append(self._ssim(*luma_pair()))
                 elif mtype == "LPIPS":
+                    v = self.lpips(t_img, p_img)[0]
+                    # the reference logs element [0,0,0,0] unconditionally
+                    # (`metric_calculator.py:219`) — the scalar when
+                    # spatial=false, the TOP-LEFT map pixel when spatial
+                    # (its quirk, mirrored for parity); full maps are
+                    # available via LPIPS(spatial=True) directly
                     per_frame["LPIPS"].append(
-                        float(self.lpips(t_img, p_img)[0]))
+                        float(v if v.ndim == 0 else v[0, 0]))
                 elif mtype == "tOF" and prev is not None:
                     if cur_gray is None:
                         cur_gray = (

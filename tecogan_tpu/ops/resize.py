@@ -63,6 +63,24 @@ def _bilinear_half_pixel_matrix(in_size: int, scale: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
+def _bilinear_fractional_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) matrix for half-pixel bilinear resize at an arbitrary
+    (possibly fractional) ratio — torch ``nn.Upsample(scale_factor=out/in,
+    mode='bilinear', align_corners=False)`` semantics (source coordinate
+    (o + 0.5)/scale - 0.5, indices clamped). Used by LPIPS spatial maps
+    (`networks_basic.py:20-24`), whose stage maps upsample by
+    non-integer factors."""
+    scale = float(out_size) / in_size
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    for o in range(out_size):
+        src = (o + 0.5) / scale - 0.5
+        i0 = int(np.floor(src))
+        w1 = src - i0
+        m[o, np.clip(i0, 0, in_size - 1)] += 1.0 - w1
+        m[o, np.clip(i0 + 1, 0, in_size - 1)] += w1
+    return m.astype(np.float32)
+
+
 def _cubic_weights_tecogan(s: float, a: float = -0.75) -> np.ndarray:
     """4-tap cubic weights at fractional offset s for taps [-1, 0, 1, 2].
 
@@ -204,6 +222,8 @@ def resize_matrix(mode: str, in_size: int, **kw) -> np.ndarray:
     """Cached dispatch for the 1-D operator matrices above."""
     if mode == "bilinear_half_pixel":
         return _bilinear_half_pixel_matrix(in_size, kw["scale"])
+    if mode == "bilinear_fractional":
+        return _bilinear_fractional_matrix(in_size, kw["out_size"])
     if mode == "tecogan_bicubic":
         return _tecogan_bicubic_matrix(in_size, kw["scale"])
     if mode == "gauss_down":

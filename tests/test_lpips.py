@@ -237,3 +237,51 @@ def test_reference_vendored_lin_heads_discoverable():
         if lin is None:
             pytest.skip("reference vendored weights not present")
         assert osp.basename(lin) == f"{stem}.pth"
+
+
+@torch.no_grad()
+def test_lpips_spatial_mode_matches_torch_oracle(tmp_path, rng):
+    """spatial=True: per-pixel LPIPS maps — each stage's 1x1-head map
+    bilinearly upsampled (align_corners=False) to the input size and
+    summed (`networks_basic.py:75-78` + `upsample` at `:20-24`), checked
+    against a torch-functional oracle at random weights."""
+    bb_path = str(tmp_path / "alexnet.pth")
+    lin_path = str(tmp_path / "alex.pth")
+    sd_np = _rand_alexnet_sd(rng)
+    torch.save({k: torch.from_numpy(v) for k, v in sd_np.items()}, bb_path)
+    g = torch.Generator().manual_seed(3)
+    lin = {f"lin{i}.model.1.weight": torch.rand(1, ch, 1, 1, generator=g) * 0.1
+           for i, ch in enumerate([64, 192, 384, 256, 256])}
+    torch.save(lin, lin_path)
+
+    metric = lpips_mod.LPIPS(backbone_path=bb_path, lin_path=lin_path,
+                             spatial=True)
+    h, w = 64, 96  # stage maps 15x23/7x11/3x5 -> fractional upsampling
+    a = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    b = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    got = metric(a, b)
+    assert got.shape == (1, h, w)
+
+    # torch oracle
+    shift = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+    scale = torch.tensor([.458, .448, .450])[None, :, None, None]
+    to_t = lambda im: torch.from_numpy(
+        np.moveaxis(im.astype(np.float32), -1, 0)[None] * (2. / 255.) - 1.)
+    fx = _torch_alexnet_features(sd_np, (to_t(a) - shift) / scale)
+    fy = _torch_alexnet_features(sd_np, (to_t(b) - shift) / scale)
+    want = torch.zeros(1, 1, h, w)
+    for i, (tx, ty) in enumerate(zip(fx, fy)):
+        tx, ty = torch.from_numpy(tx), torch.from_numpy(ty)
+        nx = tx / torch.sqrt((tx * tx).sum(1, keepdim=True) + 1e-10)
+        ny = ty / torch.sqrt((ty * ty).sum(1, keepdim=True) + 1e-10)
+        val = F.conv2d((nx - ny) ** 2, lin[f"lin{i}.model.1.weight"])
+        sf = (float(h) / val.shape[2], float(w) / val.shape[3])
+        want = want + torch.nn.Upsample(
+            scale_factor=sf, mode="bilinear", align_corners=False)(val)
+    np.testing.assert_allclose(got[0], want[0, 0].numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+    # map pixels average to the same scale as the non-spatial distance
+    flat = lpips_mod.LPIPS(backbone_path=bb_path, lin_path=lin_path)
+    assert float(np.abs(got.mean() - flat(a, b)[0])) < 0.2 * float(
+        flat(a, b)[0]) + 1e-4
