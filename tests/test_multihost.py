@@ -342,6 +342,121 @@ def test_two_process_tecogan_gan_train(tmp_path):
         assert all(key in ln for ln in l0), (key, l0[0])
 
 
+def test_two_process_flagship_channel_gan_train(tmp_path):
+    """The GAN step at FLAGSHIP channel counts executed on a REAL
+    2-process mesh (round-4 verdict next-step #1). The earlier sibling
+    proves the collective choreography at toy channels (nf=8/nb=2); this
+    one runs the same full surface — cross-replica BatchNorm over STNet's
+    64..256-channel stages, the adaptive-D vote, both Adam updates — at
+    the production nf=64/nb=10 trunk, bounded in runtime by crop 64 /
+    tempo 3 / 3 iterations (~4 s/step CPU after a ~20 s compile).
+    Reference analogue: `codes/models/vsrgan_model.py:160-198` at the
+    shipped `experiments_BD/TecoGAN/.../train.yml` channel widths."""
+    import yaml
+
+    from tecogan_tpu.data import RecordWriter
+
+    rng_l = np.random.default_rng(17)
+    rec = str(tmp_path / "GT.rec")
+    w = RecordWriter(rec)
+    for vid in ("v0", "v1"):
+        w.add_sequence(vid, (rng_l.random((5, 88, 88, 3)) * 255).astype(
+            np.uint8))
+    w.close()
+
+    opt = {
+        "scale": 4, "manual_seed": 0, "verbose": False,
+        "dataset": {
+            "degradation": {"type": "BD", "sigma": 1.5},
+            "train": {"name": "VimeoTecoGAN", "seq_dir": rec,
+                      "data_type": "rgb", "crop_size": 64,
+                      "batch_size_per_gpu": 1, "num_worker_per_gpu": 1,
+                      "pin_memory": True, "moving_first_frame": True,
+                      "moving_factor": 0.7},
+        },
+        "model": {"name": "TecoGAN",
+                  "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
+                                "nf": 64, "nb": 10},
+                  "discriminator": {"name": "STNet", "in_nc": 3,
+                                    "tempo_range": 3}},
+        "train": {
+            "tempo_extent": 3, "start_iter": 0, "total_iter": 3,
+            "moving_first_frame": True, "moving_factor": 0.7,
+            "generator": {"lr": 5e-5, "lr_schedule": {"type": "FixedLR"},
+                          "betas": [0.9, 0.999]},
+            "discriminator": {"update_policy": "adaptive",
+                              "update_threshold": 0.4,
+                              "crop_border_ratio": 0.75,
+                              "lr": 5e-5,
+                              "lr_schedule": {"type": "FixedLR"},
+                              "betas": [0.9, 0.999]},
+            "pixel_crit": {"type": "CB", "weight": 1, "reduction": "mean"},
+            "warping_crit": {"type": "CB", "weight": 1,
+                             "reduction": "mean"},
+            "feature_crit": {"type": "CosineSimilarity", "weight": 0.2,
+                             "reduction": "mean",
+                             "feature_layers": [8, 17, 26, 35],
+                             "allow_random_weights": True},
+            "pingpong_crit": {"type": "CB", "weight": 0.5,
+                              "reduction": "mean"},
+            "feature_matching_crit": {"type": "CB", "weight": 1.0,
+                                      "reduction": "mean"},
+            "gan_crit": {"type": "GAN", "weight": 0.01,
+                         "reduction": "mean"},
+        },
+        "test": {"test_freq": 0},
+        "logger": {"log_freq": 1, "decay": 0.99, "ckpt_freq": 0},
+    }
+    exp_dirs = []
+    for pid in range(2):
+        d = tmp_path / f"exp_rank{pid}"
+        (d / "train" / "ckpt").mkdir(parents=True)
+        with open(d / "train.yml", "w") as f:
+            yaml.safe_dump(opt, f)
+        exp_dirs.append(str(d))
+
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "train_worker.py"
+    script.write_text(_TRAIN_WORKER)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # one device per process -> 2-device mesh
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, "2", str(pid),
+             exp_dirs[pid], str(tmp_path / f"exp_rank{pid}" / "train.yml")],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=repo)
+        for pid in range(2)
+    ]
+    logs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, err.decode()[-3000:]
+            logs.append(err.decode())  # logging StreamHandler -> stderr
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+
+    def iter_lines(text):
+        return [ln.split("]: ", 1)[-1] for ln in text.splitlines()
+                if "| iter: " in ln]
+
+    l0, l1 = iter_lines(logs[0]), iter_lines(logs[1])
+    assert len(l0) == 3, l0
+    assert l0 == l1, (l0, l1)  # replicas bit-identical on both ranks
+    for key in ("l_gan_D", "p_real_D", "p_fake_D", "distance", "n_upd_D",
+                "l_pix_G", "l_warp_G", "l_feat_G", "l_pp_G", "l_fm_G",
+                "l_gan_G", "p_fake_G"):
+        assert all(key in ln for ln in l0), (key, l0[0])
+
+
 def test_run_test_sets_round_robin_shim(tmp_path, rng, monkeypatch):
     """With a world=2 shim, each rank only infers its own sequences and the
     allgather merge produces the full metric dict."""
