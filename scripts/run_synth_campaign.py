@@ -48,8 +48,12 @@ import numpy as np
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# training geometry, overridden by --smoke
-GEOM = {"crop": 128, "tempo": 10}
+# training geometry, overridden by --smoke / --scale; PRECISION by
+# --precision (the bf16-vs-fp32 training-quality twin, round-4 verdict
+# next-step #2 — the reference trains pure fp32 throughout,
+# `codes/models/base_model.py`)
+GEOM = {"crop": 128, "tempo": 10, "scale": 4}
+PRECISION = {"mixed": True}
 
 
 # --------------------------------------------------------------------------
@@ -99,12 +103,13 @@ def synth_clip(rng, t, h, w, max_vel=2.5):
     return np.stack(frames)
 
 
-def _bi_lr(clip, scale=4):
+def _bi_lr(clip, scale=None):
     """Matlab-imresize bicubic LR of a (t, h, w, 3) uint8 clip, uint8."""
     import jax.numpy as jnp
 
     from tecogan_tpu.ops.degrade import imresize_matlab
 
+    scale = scale or GEOM["scale"]
     lr = imresize_matlab(jnp.asarray(clip, jnp.float32) / 255.0, 1 / scale)
     return np.asarray(jnp.clip(jnp.round(lr * 255.0), 0, 255)).astype(
         np.uint8)
@@ -185,7 +190,7 @@ def _base_opt(wd, model_block, train_block, total_iter, test_freq,
         train_ds = {"seq_dir": rec_dir, "crop_size": crop}
         test_lr = None
     return {
-        "scale": 4, "manual_seed": 0, "verbose": False,
+        "scale": GEOM["scale"], "manual_seed": 0, "verbose": False,
         "dataset": {
             "degradation": degr_block,
             "train": {
@@ -206,6 +211,7 @@ def _base_opt(wd, model_block, train_block, total_iter, test_freq,
         "model": model_block,
         "train": {
             "tempo_extent": tempo, "start_iter": 0,
+            "mixed_precision": PRECISION["mixed"],
             "moving_first_frame": True, "moving_factor": 0.7,
             "pixel_crit": {"type": "CB", "weight": 1, "reduction": "mean"},
             "warping_crit": {"type": "CB", "weight": 1, "reduction": "mean"},
@@ -239,7 +245,7 @@ def _run_cli(exp_dir, opt, mode):
 
 
 def stage_frvsr(wd, total_iter, nf=64, nb=10, degradation="BD"):
-    exp_dir = osp.join(wd, "FRVSR_Synth_4xSR")
+    exp_dir = osp.join(wd, f"FRVSR_Synth_{GEOM['scale']}xSR")
     model = {"name": "FRVSR",
              "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
                            "nf": nf, "nb": nb}}
@@ -261,7 +267,7 @@ def stage_frvsr(wd, total_iter, nf=64, nb=10, degradation="BD"):
 
 def stage_tecogan(wd, frvsr_ckpt, total_iter, nf=64, nb=10,
                   degradation="BD"):
-    exp_dir = osp.join(wd, "TecoGAN_Synth_4xSR")
+    exp_dir = osp.join(wd, f"TecoGAN_Synth_{GEOM['scale']}xSR")
     model = {"name": "TecoGAN",
              "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
                            "nf": nf, "nb": nb, "load_path": frvsr_ckpt},
@@ -325,11 +331,13 @@ def _bicubic_baseline(wd, degradation="BD"):
                 cv2.imread(osp.join(lr_seq, fn))[..., ::-1]
                 for fn in sorted(os.listdir(lr_seq))]),
                 jnp.float32) / 255.0
-            sr = np.asarray(jnp.clip(imresize_matlab(lr, 4.0), 0.0, 1.0))
+            sr = np.asarray(jnp.clip(
+                imresize_matlab(lr, float(GEOM["scale"])), 0.0, 1.0))
         else:
-            lr = downsample_bd(gt, 4, sigma=1.5, pad_data=True)
-            mh = resize_matrix("tecogan_bicubic", lr.shape[-3], scale=4)
-            mw = resize_matrix("tecogan_bicubic", lr.shape[-2], scale=4)
+            s = GEOM["scale"]
+            lr = downsample_bd(gt, s, sigma=1.5, pad_data=True)
+            mh = resize_matrix("tecogan_bicubic", lr.shape[-3], scale=s)
+            mw = resize_matrix("tecogan_bicubic", lr.shape[-2], scale=s)
             sr = np.asarray(jnp.clip(apply_separable(lr, mh, mw), 0.0, 1.0))
         for fi, fr in enumerate((sr * 255.0).round().astype(np.uint8)):
             cv2.imwrite(osp.join(out_dir, f"{fi:04d}.png"), fr[..., ::-1])
@@ -347,7 +355,7 @@ def _test_model(wd, name, ckpt, nf=64, nb=10, degradation="BD"):
         degr_block = {"type": "BD", "sigma": 1.5}
         test_ds = {"gt_seq_dir": gt_dir}
     opt = {
-        "scale": 4, "manual_seed": 0, "is_train": False,
+        "scale": GEOM["scale"], "manual_seed": 0, "is_train": False,
         "dataset": {"degradation": degr_block,
                     "test1": {"name": "SynthHeldout", **test_ds,
                               "filter_file": None}},
@@ -405,8 +413,8 @@ def stage_eval(wd, frvsr_iter, tecogan_iter, nf=64, nb=10,
     summary = {}
     bicubic_root = _bicubic_baseline(wd, degradation=degradation)
     summary["bicubic"] = _official_metrics(wd, "bicubic", bicubic_root)
-    for name, it in (("FRVSR_Synth_4xSR", frvsr_iter),
-                     ("TecoGAN_Synth_4xSR", tecogan_iter)):
+    for name, it in ((f"FRVSR_Synth_{GEOM['scale']}xSR", frvsr_iter),
+                     (f"TecoGAN_Synth_{GEOM['scale']}xSR", tecogan_iter)):
         ckpt = osp.join(wd, name, "train", "ckpt", f"G_iter{it}.npz")
         res_root = _test_model(wd, name, ckpt, nf=nf, nb=nb,
                                degradation=degradation)
@@ -430,10 +438,25 @@ def main():
     ap.add_argument("--degradation", default="BD", choices=["BD", "BI"],
                     help="BD: GT-only records + on-device blur/stride; "
                          "BI: paired GT+LR records (Matlab bicubic)")
+    ap.add_argument("--scale", type=int, default=4, choices=[4, 2],
+                    help="SR factor — 2 runs the 2x family recipe "
+                         "(experiments_BD/FRVSR/FRVSR_REDS_2xSR_2GPU)")
+    ap.add_argument("--precision", default="mixed",
+                    choices=["mixed", "fp32"],
+                    help="train.mixed_precision toggle for the bf16-vs-"
+                         "fp32 training-quality twin")
     args = ap.parse_args()
+    GEOM["scale"] = args.scale
+    PRECISION["mixed"] = args.precision == "mixed"
     wd = args.workdir
-    if args.degradation == "BI" and wd == ap.get_default("workdir"):
-        wd += "_bi"  # keep the two corpora from colliding
+    if wd == ap.get_default("workdir"):
+        # keep corpora/runs from colliding across the experiment matrix
+        if args.degradation == "BI":
+            wd += "_bi"
+        if args.scale != 4:
+            wd += f"_{args.scale}x"
+        if args.precision != "mixed":
+            wd += f"_{args.precision}"
     os.makedirs(wd, exist_ok=True)
 
     nf, nb = 64, 10
@@ -454,7 +477,8 @@ def main():
         stage_frvsr(wd, args.frvsr_iter, nf=nf, nb=nb,
                     degradation=args.degradation)
     if args.stage in ("all", "tecogan"):
-        frvsr_ckpt = osp.join(wd, "FRVSR_Synth_4xSR", "train", "ckpt",
+        frvsr_ckpt = osp.join(wd, f"FRVSR_Synth_{GEOM['scale']}xSR",
+                              "train", "ckpt",
                               f"G_iter{args.frvsr_iter}.npz")
         assert osp.exists(frvsr_ckpt), frvsr_ckpt
         stage_tecogan(wd, frvsr_ckpt, args.tecogan_iter, nf=nf, nb=nb,
