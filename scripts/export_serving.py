@@ -6,10 +6,16 @@ Usage:
         [--scale 4] [--degradation BD] [--nf 64] [--nb 10] \
         [--platforms tpu]
 
-The artifact is loaded in a serving process with:
+The artifact embeds the generator weights by default (a self-contained
+serving bundle; `--no_embed_params` to opt out) and is served either by
+the bundled host CLI:
+
+    python -m tecogan_tpu.serve model.tecosrv lr_dir out_dir
+
+or programmatically:
 
     from tecogan_tpu.serving import load_artifact
-    run, meta = load_artifact("model.tecosrv")
+    run, meta, params = load_artifact("model.tecosrv")
     sr = run(params, lr_batch)        # uint8 (n, t, s*h, s*w, 3)
 
 `--platforms tpu` exports from a CPU box for TPU serving hosts (and vice
@@ -43,6 +49,9 @@ def main():
     ap.add_argument("--platforms", nargs="*", default=None,
                     help="target platform(s), e.g. tpu; default: current "
                          "backend")
+    ap.add_argument("--no_embed_params", action="store_true",
+                    help="ship a weights-free artifact (the serving host "
+                         "must pass --ckpt / its own params)")
     args = ap.parse_args()
 
     from tecogan_tpu.models.networks import FRNetConfig
@@ -61,7 +70,8 @@ def main():
             "degradation": args.degradation, "nf": args.nf, "nb": args.nb,
             "compute_dtype": args.compute_dtype,
             "platforms": list(args.platforms or [])}
-    save_artifact(args.out, blob, meta)
+    save_artifact(args.out, blob, meta,
+                  params=None if args.no_embed_params else params)
     print(f"exported {len(blob) / 1e6:.1f} MB artifact -> {args.out}")
     print(f"meta: {meta}")
 

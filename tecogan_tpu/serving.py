@@ -89,19 +89,40 @@ def load_stream(blob: bytes):
     return jax.jit(exp.call)
 
 
-def save_artifact(path: str, blob: bytes, meta: dict | None = None) -> None:
+_PARAMS_NS = "params/"
+
+
+def save_artifact(path: str, blob: bytes, meta: dict | None = None,
+                  params=None) -> None:
     """Write the artifact with a small npz sidecar header (geometry +
-    config echo) so a serving host can validate inputs before calling."""
+    config echo) so a serving host can validate inputs before calling.
+
+    ``params``: optionally embed the generator weights, making the file a
+    self-contained serving bundle (``python -m tecogan_tpu.serve`` runs
+    straight from it). The weights must be the same pytree passed to
+    ``export_stream`` — the traced program pins their structure/dtypes.
+    Omit to ship a weights-free artifact whose host supplies a checkpoint.
+    """
+    from .utils import ckpt as ckpt_io
+
+    extra = {}
+    if params is not None:
+        extra = ckpt_io._flatten(jax.device_get(params), _PARAMS_NS)
     buf = io.BytesIO()
     np.savez(buf, blob=np.frombuffer(blob, np.uint8),
-             meta=np.asarray(repr(meta or {})))
+             meta=np.asarray(repr(meta or {})), **extra)
     with open(path, "wb") as f:
         f.write(_MAGIC)
         f.write(buf.getvalue())
 
 
 def load_artifact(path: str):
-    """Read a ``save_artifact`` file -> (callable, meta dict)."""
+    """Read a ``save_artifact`` file -> (callable, meta dict, params).
+
+    ``params`` is the embedded weight pytree, or None for a weights-free
+    artifact (the caller then supplies its own checkpoint, same tree)."""
+    from .utils import ckpt as ckpt_io
+
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
@@ -112,4 +133,7 @@ def load_artifact(path: str):
     z = np.load(io.BytesIO(data), allow_pickle=False)
     import ast
     meta = ast.literal_eval(str(z["meta"]))
-    return load_stream(z["blob"].tobytes()), meta
+    flat = {k[len(_PARAMS_NS):]: z[k] for k in z.files
+            if k.startswith(_PARAMS_NS)}
+    params = ckpt_io._unflatten(flat) if flat else None
+    return load_stream(z["blob"].tobytes()), meta, params

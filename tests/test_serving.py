@@ -44,8 +44,9 @@ def test_artifact_roundtrip(tmp_path, small_case):
     blob = export_stream(params, cfg, 1, 5, 16, 24, chunk=4)
     path = str(tmp_path / "m.tecosrv")
     save_artifact(path, blob, {"h": 16, "w": 24, "scale": 4})
-    run, meta = load_artifact(path)
+    run, meta, params_back = load_artifact(path)
     assert meta["w"] == 24 and meta["scale"] == 4
+    assert params_back is None  # weights-free save
     want = infer_sequence_batch(params, lr, cfg, chunk=4)
     np.testing.assert_array_equal(np.asarray(run(params, lr)),
                                   np.asarray(want))
@@ -81,8 +82,13 @@ def test_cli_exporter(tmp_path, small_case):
         env={**__import__("os").environ, "JAX_PLATFORM_NAME": "cpu"})
     assert r.returncode == 0, r.stderr
     assert "exported" in r.stdout
-    run, meta = load_artifact(out)
+    run, meta, params_back = load_artifact(out)
     assert meta["nf"] == 8 and meta["t"] == 5
+    # the CLI embeds weights by default -> self-contained bundle
+    import jax as _jax
+    for a, b in zip(_jax.tree.leaves(params_back),
+                    _jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_export_bf16_compute_path(tmp_path):
@@ -126,3 +132,91 @@ def test_cross_platform_export_bakes_target_kernels(small_case):
 
     with pytest.raises(ValueError, match="one platform"):
         export_stream(params, cfg, 1, 5, 16, 24, platforms=("cpu", "tpu"))
+
+
+# ---------------------------------------------------------------- serve CLI
+
+
+def test_serve_cli_end_to_end(tmp_path, small_case):
+    """python -m tecogan_tpu.serve: PNG-in -> PNG-out purely from a
+    self-contained artifact (embedded weights), exactly matching the live
+    batched streaming path — incl. a short sequence (tail-pad + trim) and
+    the reflect pre-roll trim."""
+    import cv2
+
+    from tecogan_tpu.ops import save_sequence
+
+    cfg, params, _ = small_case
+    t, h, w = 6, 16, 24
+    blob = export_stream(params, cfg, 1, t, h, w, chunk=4)
+    art = str(tmp_path / "m.tecosrv")
+    save_artifact(art, blob, {"n": 1, "t": t, "h": h, "w": w, "scale": 4,
+                              "nf": 8, "nb": 2}, params=params)
+
+    rng = np.random.default_rng(7)
+    in_root = tmp_path / "lr"
+    seq_frames = {}
+    for name, t_seq in (("clipA", t), ("clipB", t - 2)):  # full + short
+        frames = (rng.random((t_seq, h, w, 3)) * 255).astype(np.uint8)
+        save_sequence(str(in_root / name), frames, to_bgr=True)
+        seq_frames[name] = frames
+
+    out_root = tmp_path / "sr"
+    r = subprocess.run(
+        [sys.executable, "-m", "tecogan_tpu.serve", art, str(in_root),
+         str(out_root)],
+        capture_output=True, text=True, cwd=REPO,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "JAX_PLATFORM_NAME": "cpu"})
+    assert r.returncode == 0, r.stderr
+
+    for name, frames in seq_frames.items():
+        lr = frames.astype(np.float32) / 255.0
+        t_seq = len(lr)
+        padded = np.concatenate(
+            [lr] + [lr[-1:]] * (t - t_seq), axis=0)[None]
+        want = np.asarray(infer_sequence_batch(
+            params, jnp.asarray(padded), cfg, chunk=4))[0, :t_seq]
+        got = np.stack([
+            cv2.imread(str(out_root / name / f"{i:04d}.png"))[..., ::-1]
+            for i in range(t_seq)])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_serve_cli_pad_front_and_ckpt_override(tmp_path, small_case):
+    """--pad_front reproduces the test-mode reflect pre-roll (padded
+    frames trimmed), and --ckpt overrides on a weights-free artifact."""
+    import cv2
+
+    from tecogan_tpu.ops import save_sequence
+    from tecogan_tpu.serve import serve
+    from tecogan_tpu.utils.ckpt import save_pytree
+
+    cfg, params, _ = small_case
+    t, h, w, pad = 7, 16, 24, 2
+    blob = export_stream(params, cfg, 1, t, h, w, chunk=4)
+    art = str(tmp_path / "nw.tecosrv")
+    save_artifact(art, blob, {"n": 1, "t": t, "h": h, "w": w, "scale": 4,
+                              "nf": 8, "nb": 2})  # weights-free
+
+    # no embedded weights and no --ckpt -> loud
+    rng = np.random.default_rng(3)
+    frames = (rng.random((t - pad, h, w, 3)) * 255).astype(np.uint8)
+    save_sequence(str(tmp_path / "lr" / "clip"), frames, to_bgr=True)
+    with pytest.raises(ValueError, match="no embedded weights"):
+        serve(art, str(tmp_path / "lr"), str(tmp_path / "sr0"), quiet=True)
+
+    ckpt = str(tmp_path / "G.npz")
+    save_pytree(params, ckpt)
+    serve(art, str(tmp_path / "lr"), str(tmp_path / "sr"), ckpt=ckpt,
+          pad_front=pad, quiet=True)
+
+    lr = frames.astype(np.float32) / 255.0
+    pre = lr[1:1 + pad][::-1]                      # reflect pre-roll
+    want = np.asarray(infer_sequence_batch(
+        params, jnp.asarray(np.concatenate([pre, lr])[None]), cfg,
+        chunk=4))[0, pad:]
+    got = np.stack([
+        cv2.imread(str(tmp_path / "sr" / "clip" / f"{i:04d}.png"))[..., ::-1]
+        for i in range(t - pad)])
+    np.testing.assert_array_equal(got, want)
