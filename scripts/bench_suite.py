@@ -222,14 +222,86 @@ _MANUAL_MARKER = ("<!-- manual evidence below: preserved across "
                   "bench_suite regenerations -->")
 
 
+_CANARY_PATH = osp.join(osp.dirname(osp.abspath(__file__)),
+                        "perf_canary.json")
+
+
+def check_canary(update: bool = False) -> bool:
+    """Perf regression canary: re-measure the three headline numbers and
+    compare against the committed baselines + tolerance bands in
+    `scripts/perf_canary.json`. Returns True when everything is inside
+    its band; prints a verdict table either way. With ``update`` the
+    measured values REPLACE the baselines (commit the file after a
+    deliberate perf change).
+
+    The bands are deliberately generous (15-20%): the chip tunnel adds
+    run-to-run noise, and the canary exists to catch real layout/fusion
+    regressions shipping silently — not jitter. Reference analogue: none
+    (the reference's only perf statement is the static benchmark.png
+    table, `/root/reference/README.md:165-172`).
+    """
+    import json
+
+    with open(_CANARY_PATH) as f:
+        canary = json.load(f)
+
+    measured = {
+        "infer_bf16_4x_bd_fps": _fps_infer("bfloat16"),
+        "frvsr_train_ms": 1000 * _train_iter("frvsr", mixed_precision=True),
+        "tecogan_train_ms": 1000 * _train_iter("tecogan",
+                                               mixed_precision=True),
+    }
+
+    ok = True
+    print(f"{'metric':<24} {'measured':>10} {'baseline':>10} "
+          f"{'bound':>12}  verdict")
+    for name, val in measured.items():
+        spec = canary[name]
+        base = spec["baseline"]
+        if "min_ratio" in spec:                      # higher is better
+            bound = base * spec["min_ratio"]
+            good = val >= bound
+            bound_s = f">= {bound:.1f}"
+        else:                                        # lower is better
+            bound = base * spec["max_ratio"]
+            good = val <= bound
+            bound_s = f"<= {bound:.1f}"
+        ok &= good
+        print(f"{name:<24} {val:>10.1f} {base:>10.1f} {bound_s:>12}  "
+              f"{'ok' if good else 'REGRESSION'}")
+        if update:
+            spec["baseline"] = round(val, 1)
+    if update:
+        with open(_CANARY_PATH, "w") as f:
+            json.dump(canary, f, indent=2)
+            f.write("\n")
+        print(f"updated baselines -> {_CANARY_PATH}")
+    print("PERF_CANARY " + ("PASS" if ok else "FAIL"))
+    return ok
+
+
 def main():
+    import argparse
     import tempfile
 
     import jax
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="perf canary: re-measure the headline numbers "
+                         "against scripts/perf_canary.json tolerances; "
+                         "exit 1 on regression (no BENCHMARKS rewrite)")
+    ap.add_argument("--update", action="store_true",
+                    help="with --check: write the measured values back "
+                         "as the new committed baselines")
+    args = ap.parse_args()
+
     jax.config.update("jax_compilation_cache_dir",
                       osp.expanduser("~/.cache/jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    if args.check:
+        raise SystemExit(0 if check_canary(update=args.update) else 1)
 
     rows = []
     dev = str(jax.devices()[0])

@@ -68,31 +68,19 @@ def create_dataloader(opt, phase: str, idx: str, n_devices: int = 1,
         if data_opt.get("device_resident", False):
             # keep the whole (uniform, HBM-sized) corpus on device and
             # ship only per-step sample plans — the recurring uint8 batch
-            # H2D disappears (see data/device_data.py)
-            import jax
+            # H2D disappears (see data/device_data.py). Works on single-
+            # AND multi-process meshes: every process loads the corpus
+            # from its records store (shared FS or per-host copy, the
+            # same requirement the host loader has) and gathers only its
+            # own dp rows.
+            from .device_data import DeviceResidentLoader
 
-            if jax.process_count() > 1:
-                # the resident batch is committed to one process's local
-                # device; resharding it onto a mesh spanning OTHER hosts
-                # is not a supported transfer. Fall back to the host
-                # loader (whose replicated-numpy batches device_put
-                # cleanly), same policy as the SP-serving guard.
-                import logging
-
-                logging.getLogger("tecogan").warning(
-                    "device_resident requested under multi-process "
-                    "training — falling back to the host loader (a "
-                    "committed single-device corpus cannot feed a "
-                    "multi-host mesh)")
-            else:
-                from .device_data import DeviceResidentLoader
-
-                return DeviceResidentLoader(
-                    dataset,
-                    batch_size=data_opt["batch_size_per_gpu"] * n_devices,
-                    seed=opt.get("manual_seed", 2021),
-                    mesh=mesh,
-                )
+            return DeviceResidentLoader(
+                dataset,
+                batch_size=data_opt["batch_size_per_gpu"] * n_devices,
+                seed=opt.get("manual_seed", 2021),
+                mesh=mesh,
+            )
 
         return TrainLoader(
             dataset,

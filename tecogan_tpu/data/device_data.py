@@ -18,9 +18,11 @@ to the host loader's (tests/test_device_data.py). The spatial augmentation
 crop + flip + rotation collapse into ONE gather per sample.
 
 Scope: BD (UnpairedClipDataset) and BI (PairedClipDataset — both the GT
-and LR stores go resident) training over uniform-geometry corpora.
-Reference counterpart: none — `codes/data/*` always stream batches from
-host memory through PCIe every step.
+and LR stores go resident) training over uniform-geometry corpora, on
+single- AND multi-process meshes (each process uploads its replica copy
+once and gathers its own dp rows; plans are the only recurring H2D on
+every host). Reference counterpart: none — `codes/data/*` always stream
+batches from host memory through PCIe every step.
 """
 
 from __future__ import annotations
@@ -97,10 +99,11 @@ class DeviceResidentLoader(TrainLoader):
     Same epoch order, same per-sample RNG streams, same batch contents as
     the host loader — but the per-step host->device payload is the stacked
     plans (int32, ~100 B/sample) instead of the crops; the batch itself is
-    born on device. With a multi-device ``mesh`` the batch is born already
-    dp-SHARDED (corpus replicated, per-device local gather of its own
-    rows) so the training step's input sharding is satisfied with zero
-    per-step inter-device traffic.
+    born on device. With a multi-device ``mesh`` (single- or
+    multi-process) the batch is born already dp-SHARDED (corpus
+    replicated, per-device local gather of its own rows) so the training
+    step's input sharding is satisfied with zero per-step inter-device
+    traffic.
     """
 
     def __init__(self, dataset, batch_size: int, seed: int = 0, mesh=None,
@@ -128,18 +131,27 @@ class DeviceResidentLoader(TrainLoader):
             corpora = {"gt": clips}
             geoms = {"gt": (dataset.crop_size, 1)}
 
-        # Placement: with a (single-process) multi-device ``mesh`` the
-        # corpus + aug maps are REPLICATED over the mesh and the jitted
-        # gather emits the batch already sharded over ``dp`` — each device
-        # gathers only its own batch rows from its local corpus copy, so
-        # the per-step cross-device scatter the reshard path pays does not
-        # exist. Without a mesh (or on one device) everything lands on the
+        # Placement: with a multi-device ``mesh`` the corpus + aug maps are
+        # REPLICATED over the mesh and the jitted gather emits the batch
+        # already sharded over ``dp`` — each device gathers only its own
+        # batch rows from its local corpus copy, so the per-step
+        # cross-device scatter the reshard path pays does not exist.
+        # Without a mesh (or on one device) everything lands on the
         # default device and the model's prepare_training_data device_puts
         # to its dp sharding (a no-op on one chip, an on-fabric scatter on
-        # a mesh — never a host->device transfer either way). Multi-PROCESS
-        # meshes take the host-loader fallback in the factory: the corpus
-        # would have to be uploaded per-host as a global array, which no
-        # real multi-host exists here to validate.
+        # a mesh — never a host->device transfer either way).
+        #
+        # Multi-PROCESS meshes work the same way: every process loads the
+        # corpus from its records store and hands over its addressable
+        # replica shards via ``put_global`` (make_array_from_callback — no
+        # cross-process traffic), and every process computes the identical
+        # global plan batch from the shared (seed, epoch, i) RNG streams,
+        # so the jitted SPMD gather gives each host's devices exactly
+        # their dp rows. This is the DistributedSampler shard semantics
+        # (`/root/reference/codes/data/__init__.py:48-55`) with the shard
+        # realised at gather time instead of at the sampler: per-process
+        # H2D stays plans-only, which is precisely the deployment shape
+        # (one thin-linked host per chip group) the mode exists for.
         if mesh is not None and mesh.devices.size == 1:
             mesh = None
         self._mesh = mesh
@@ -152,11 +164,11 @@ class DeviceResidentLoader(TrainLoader):
                 "dp-sharded batch needs equal per-device rows (the loader "
                 "factory always passes batch_size_per_gpu * n_devices)")
         if mesh is not None:
-            from ..parallel import batch_sharding, replicated
+            from ..parallel import batch_sharding, put_global, replicated
 
             rep = replicated(mesh)
             self._plan_sharding = rep
-            put = lambda v: jax.device_put(v, rep)
+            put = lambda v: put_global(v, rep)
             out_shardings = batch_sharding(mesh)
         else:
             self._plan_sharding = None
@@ -212,7 +224,9 @@ class DeviceResidentLoader(TrainLoader):
                 k: np.stack([p[k] for p in plans]) for k in plans[0]
             }
             if self._plan_sharding is not None:
-                stacked = jax.device_put(stacked, self._plan_sharding)
+                from ..parallel import put_global
+
+                stacked = put_global(stacked, self._plan_sharding)
             else:
                 stacked = jax.device_put(stacked)
             yield self._assemble(self._clips, self._maps, stacked)

@@ -223,27 +223,7 @@ def test_paired_plan_assemble_equals_getitem(paired_records):
         np.testing.assert_array_equal(a["lr"], b["lr"])
 
 
-def test_factory_falls_back_under_multiprocess(uniform_records,
-                                               monkeypatch):
-    """Multi-host: a corpus committed to one process's device can't feed a
-    mesh spanning other hosts — the factory must fall back to the host
-    loader instead of erroring at the first step's reshard."""
-    import jax
-
-    from tecogan_tpu.data import create_dataloader
-    from tecogan_tpu.data.device_data import DeviceResidentLoader
-
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
-    opt = {
-        "scale": 4, "manual_seed": 3,
-        "dataset": {
-            "degradation": {"type": "BD", "sigma": 1.5},
-            "train": {"name": "x", "seq_dir": uniform_records,
-                      "crop_size": 16, "batch_size_per_gpu": 2,
-                      "device_resident": True},
-        },
-        "train": {"tempo_extent": 3},
-    }
-    loader = create_dataloader(opt, "train", "train", n_devices=1)
-    assert isinstance(loader, TrainLoader)
-    assert not isinstance(loader, DeviceResidentLoader)
+# NOTE: multi-PROCESS device-resident loading (each process uploads its
+# replica copy and gathers only its own dp rows) is certified by a real
+# 2-process spawned test: tests/test_multihost.py::
+# test_two_process_device_resident_loader.
