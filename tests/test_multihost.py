@@ -634,3 +634,98 @@ def test_two_process_device_resident_loader(tmp_path):
         assert ok, out[-2000:]
         lines.append(ok[0])
     assert lines[0] == lines[1], lines  # identical checksums on both ranks
+
+
+def test_two_process_device_resident_cli_train(tmp_path):
+    """CLI-level closure of the multi-process device-resident path: the
+    SAME train.yml run across 2 spawned processes with
+    `device_resident: true` and with the host loader must produce
+    bit-identical per-iter loss logs (and identical across ranks) — the
+    resident gather feeds main.train's real loop exactly like the host
+    pipeline, multi-process included."""
+    import yaml
+
+    from tecogan_tpu.data import RecordWriter
+
+    rng_l = np.random.default_rng(31)
+    rec = str(tmp_path / "GT.rec")
+    w = RecordWriter(rec)
+    for vid in ("v0", "v1"):
+        w.add_sequence(vid, (rng_l.random((5, 48, 48, 3)) * 255).astype(
+            np.uint8))
+    w.close()
+
+    base_opt = {
+        "scale": 4, "manual_seed": 0, "verbose": False,
+        "dataset": {
+            "degradation": {"type": "BD", "sigma": 1.5},
+            "train": {"name": "VimeoTecoGAN", "seq_dir": rec,
+                      "data_type": "rgb", "crop_size": 32,
+                      "batch_size_per_gpu": 1, "num_worker_per_gpu": 1,
+                      "pin_memory": True},
+        },
+        "model": {"name": "FRVSR",
+                  "generator": {"name": "FRNet", "in_nc": 3, "out_nc": 3,
+                                "nf": 8, "nb": 2}},
+        "train": {"tempo_extent": 3, "start_iter": 0, "total_iter": 4,
+                  "generator": {"lr": 1e-4,
+                                "lr_schedule": {"type": "FixedLR"},
+                                "betas": [0.9, 0.999]},
+                  "pixel_crit": {"type": "CB", "weight": 1,
+                                 "reduction": "mean"},
+                  "warping_crit": {"type": "CB", "weight": 1,
+                                   "reduction": "mean"}},
+        "test": {"test_freq": 0},
+        "logger": {"log_freq": 1, "decay": 0.99, "ckpt_freq": 0},
+    }
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # one device per process -> 2-device mesh
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "train_worker.py"
+    script.write_text(_TRAIN_WORKER)
+
+    def run_variant(tag, resident):
+        opt = yaml.safe_load(yaml.safe_dump(base_opt))
+        opt["dataset"]["train"]["device_resident"] = resident
+        exp_dirs = []
+        for pid in range(2):
+            d = tmp_path / f"{tag}_rank{pid}"
+            (d / "train" / "ckpt").mkdir(parents=True)
+            with open(d / "train.yml", "w") as f:
+                yaml.safe_dump(opt, f)
+            exp_dirs.append(str(d))
+        coord = f"127.0.0.1:{_free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), coord, "2", str(pid),
+                 exp_dirs[pid], str(tmp_path / f"{tag}_rank{pid}" /
+                                    "train.yml")],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+                cwd=repo)
+            for pid in range(2)
+        ]
+        logs = []
+        try:
+            for p in procs:
+                out, err = p.communicate(timeout=600)
+                assert p.returncode == 0, err.decode()[-3000:]
+                logs.append(err.decode())
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        lines = [
+            [ln.split("]: ", 1)[-1] for ln in log.splitlines()
+             if "| iter: " in ln]
+            for log in logs
+        ]
+        assert len(lines[0]) == 4, lines[0]
+        assert lines[0] == lines[1], (tag, lines)  # ranks identical
+        return lines[0]
+
+    resident = run_variant("res", True)
+    host = run_variant("host", False)
+    assert resident == host, (resident, host)  # loaders bit-equivalent
