@@ -168,8 +168,12 @@ def train(opt):
                     log_info(model.get_format_msg(model.state, epoch,
                                                   curr_iter))
 
-                if (ckpt_freq > 0 and curr_iter % ckpt_freq == 0
+                if ((curr_iter == total_iter
+                     or (ckpt_freq > 0 and curr_iter % ckpt_freq == 0))
                         and jax.process_index() == 0):
+                    # always checkpoint the final iteration even when
+                    # ckpt_freq does not divide total_iter — downstream
+                    # eval expects G_iter{total_iter} to exist
                     # rank 0 only (reference @master_only): concurrent
                     # writers on a shared filesystem would race on the
                     # same checkpoint path

@@ -85,6 +85,27 @@ def test_cli_train_mode(tiny_exp):
     assert "G_iter2" in j and "PSNR" in j["G_iter2"]
 
 
+def test_cli_final_iter_checkpoint_when_freq_does_not_divide(tiny_exp):
+    """The last iteration is always checkpointed, even when ckpt_freq
+    does not divide total_iter — downstream eval (e.g.
+    scripts/run_synth_campaign.py stage_eval) loads G_iter{total_iter}."""
+    from tecogan_tpu.main import main
+
+    with open(osp.join(tiny_exp, "train.yml")) as f:
+        opt = yaml.safe_load(f)
+    opt["train"]["total_iter"] = 3   # ckpt_freq stays 2 -> 3 % 2 != 0
+    with open(osp.join(tiny_exp, "train.yml"), "w") as f:
+        yaml.safe_dump(opt, f)
+
+    main(["--exp_dir", tiny_exp, "--mode", "train",
+          "--opt", osp.join(tiny_exp, "train.yml"), "--gpu_ids", "0"])
+
+    files = os.listdir(osp.join(tiny_exp, "train", "ckpt"))
+    assert "G_iter2.npz" in files          # the periodic save
+    assert "G_iter3.npz" in files          # the forced final save
+    assert "state_iter3.npz" in files
+
+
 def test_cli_test_mode_after_training(tiny_exp):
     from tecogan_tpu.main import main
 
