@@ -127,18 +127,19 @@ def test_tecogan_gan_step_matches_torch(rng):
     opt_g.step()
 
     # ---------------- compare
-    np.testing.assert_allclose(float(logs["distance"]), float(dist),
+    np.testing.assert_allclose(float(logs["distance"]),
+                               float(dist.detach()),
                                rtol=1e-3, atol=1e-5)
-    np.testing.assert_allclose(float(logs["l_gan_D"]), float(loss_d),
+    np.testing.assert_allclose(float(logs["l_gan_D"]), float(loss_d.detach()),
                                rtol=1e-4)
-    np.testing.assert_allclose(float(logs["l_pix_G"]), float(l_pix),
+    np.testing.assert_allclose(float(logs["l_pix_G"]), float(l_pix.detach()),
                                rtol=1e-4)
-    np.testing.assert_allclose(float(logs["l_pp_G"]), float(l_pp),
+    np.testing.assert_allclose(float(logs["l_pp_G"]), float(l_pp.detach()),
                                rtol=1e-3, atol=1e-6)
-    np.testing.assert_allclose(float(logs["l_fm_G"]), float(l_fm),
+    np.testing.assert_allclose(float(logs["l_fm_G"]), float(l_fm.detach()),
                                rtol=1e-3)
     np.testing.assert_allclose(float(logs["l_gan_G"]), 0.01 * float(
-        _bce(fake_g_logits, True)), rtol=1e-3)
+        _bce(fake_g_logits, True).detach()), rtol=1e-3)
 
     def assert_params_close(got, want, lr):
         """Adam normalises gradients, so a parameter whose gradient is at
