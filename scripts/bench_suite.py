@@ -300,6 +300,9 @@ def main():
                       osp.expanduser("~/.cache/jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
+    if args.update and not args.check:
+        ap.error("--update only applies to the canary path; pass --check "
+                 "--update to refresh scripts/perf_canary.json baselines")
     if args.check:
         raise SystemExit(0 if check_canary(update=args.update) else 1)
 

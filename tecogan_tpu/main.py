@@ -168,12 +168,15 @@ def train(opt):
                     log_info(model.get_format_msg(model.state, epoch,
                                                   curr_iter))
 
-                if ((curr_iter == total_iter
-                     or (ckpt_freq > 0 and curr_iter % ckpt_freq == 0))
+                if (ckpt_freq > 0
+                        and (curr_iter == total_iter
+                             or curr_iter % ckpt_freq == 0)
                         and jax.process_index() == 0):
                     # always checkpoint the final iteration even when
                     # ckpt_freq does not divide total_iter — downstream
-                    # eval expects G_iter{total_iter} to exist
+                    # eval expects G_iter{total_iter} to exist.
+                    # ckpt_freq: 0 keeps its meaning of 'no checkpoints
+                    # at all' (scratch/bench runs rely on it)
                     # rank 0 only (reference @master_only): concurrent
                     # writers on a shared filesystem would race on the
                     # same checkpoint path

@@ -85,7 +85,14 @@ def _pad_to_t(seq, t, pad_front, mode):
     """Front pre-roll (reflect/replicate) + edge tail padding to the
     artifact's fixed t. -> (padded (t, h, w, 3), n_front)."""
     t_seq = len(seq)
-    n_front = min(pad_front, t_seq - 1) if t_seq > 1 else 0
+    if pad_front >= t_seq:
+        # same contract as test mode (models/base.py pad_sequence asserts
+        # n_pad < sequence length) — a silent clamp would serve outputs
+        # that differ from `--mode test` with no warning
+        raise ValueError(
+            f"--pad_front {pad_front} needs at least {pad_front + 1} "
+            f"frames but the sequence has {t_seq}; lower --pad_front")
+    n_front = pad_front
     if n_front:
         if mode == "reflect":
             front = seq[1:1 + n_front][::-1]
@@ -142,7 +149,13 @@ def serve(artifact: str, in_dir: str, out_dir: str, ckpt: str | None = None,
         batch = np.empty((n, t, h, w, 3), np.float32)
         fronts, lens = [], []
         for i in range(n):
-            name, sdir, frames = group[min(i, len(group) - 1)]
+            if i >= len(group):
+                # filler slot for a partial last group: duplicate the last
+                # real row (its SR output is discarded) instead of
+                # re-reading the sequence from disk
+                batch[i] = batch[len(group) - 1]
+                continue
+            name, sdir, frames = group[i]
             seq = _read_sequence(sdir, frames, h, w, name)
             padded, n_front = _pad_to_t(seq, t, pad_front, padding_mode)
             batch[i] = padded

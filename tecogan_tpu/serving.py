@@ -61,6 +61,11 @@ def export_stream(params, cfg: FRNetConfig, n: int, t: int, h: int, w: int,
     """
     if platforms is not None:
         plats = tuple(str(p).lower() for p in platforms)
+        if not plats:
+            raise ValueError(
+                "platforms must name at least one target platform "
+                "(e.g. ['tpu']) or be None for the exporting host's "
+                "backend")
         if len(set(plats)) > 1:
             # one artifact per platform: kernel dispatch (Pallas warp vs
             # XLA gather, s2d folding) differs per platform, and a single
@@ -76,7 +81,10 @@ def export_stream(params, cfg: FRNetConfig, n: int, t: int, h: int, w: int,
         params)
     kw = {}
     if platforms is not None:
-        kw["platforms"] = tuple(platforms)
+        # the lowered tuple — jax.export matches platform names
+        # case-sensitively, so passing the raw user strings (e.g. "TPU")
+        # would fail inside lowering with a confusing internal error
+        kw["platforms"] = plats
     exp = jax_export.export(fn, **kw)(p_spec, lr_spec)
     return exp.serialize()
 

@@ -251,13 +251,17 @@ def test_ssim_matches_brute_force_window_oracle(rng):
 
 
 def test_ssim_golden_value_pinned():
-    """Committed golden value for a FIXED random pair — the regression
+    """Committed golden value for a FIXED image pair — the regression
     stand-in for the absent skimage oracle (the value was cross-checked
     against the brute-force window oracle at machine epsilon when
     committed). Any estimator change that moves a published-parity
-    column fails here first."""
-    rng = np.random.default_rng(20260819)
-    a = np.round(rng.random((24, 26)) * 255.0)
-    b = np.clip(np.round(a + rng.normal(0, 12, a.shape)), 0, 255)
-    assert abs(ssim(a, b, data_range=255.0)
-               - 0.9876238938650191) < 1e-12
+    column fails here first. The inputs are closed-form (sin/cos
+    lattices), NOT an rng stream — NEP 19 allows numpy to change
+    Generator bit streams across feature releases, which would shift
+    rng-derived inputs and fail the pin with no estimator change."""
+    i, j = np.meshgrid(np.arange(24.0), np.arange(26.0), indexing="ij")
+    a = np.round((np.sin(0.7 * i) * np.cos(1.3 * j) * 0.5 + 0.5) * 255.0)
+    b = np.clip(np.round(a + 12.0 * np.sin(2.1 * i + 0.3 * j)), 0.0, 255.0)
+    assert abs(_brute_ssim(a, b, 255.0) - ssim(a, b, data_range=255.0)) \
+        < 1e-12
+    assert abs(ssim(a, b, data_range=255.0) - 0.99110234271506) < 1e-12

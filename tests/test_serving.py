@@ -133,6 +133,17 @@ def test_cross_platform_export_bakes_target_kernels(small_case):
     with pytest.raises(ValueError, match="one platform"):
         export_stream(params, cfg, 1, 5, 16, 24, platforms=("cpu", "tpu"))
 
+    # case-insensitive: "TPU" must lower to the name jax.export matches
+    # case-sensitively, not crash inside lowering
+    exp_up = jax_export.deserialize(
+        export_stream(params, cfg, 1, 5, 16, 24, chunk=4,
+                      platforms=("TPU",)))
+    assert exp_up.platforms == ("tpu",)
+
+    # an empty sequence is a loud error, not an IndexError
+    with pytest.raises(ValueError, match="at least one"):
+        export_stream(params, cfg, 1, 5, 16, 24, platforms=())
+
 
 # ---------------------------------------------------------------- serve CLI
 
@@ -220,3 +231,10 @@ def test_serve_cli_pad_front_and_ckpt_override(tmp_path, small_case):
         cv2.imread(str(tmp_path / "sr" / "clip" / f"{i:04d}.png"))[..., ::-1]
         for i in range(t - pad)])
     np.testing.assert_array_equal(got, want)
+
+    # a pre-roll longer than the clip is the same loud contract as test
+    # mode (base.pad_sequence), NOT a silent clamp that would serve
+    # different outputs than `--mode test`
+    with pytest.raises(ValueError, match="pad_front"):
+        serve(art, str(tmp_path / "lr"), str(tmp_path / "sr2"), ckpt=ckpt,
+              pad_front=t - pad, quiet=True)
