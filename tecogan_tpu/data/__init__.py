@@ -73,14 +73,32 @@ def create_dataloader(opt, phase: str, idx: str, n_devices: int = 1,
             # from its records store (shared FS or per-host copy, the
             # same requirement the host loader has) and gathers only its
             # own dp rows.
-            from .device_data import DeviceResidentLoader
+            import jax
 
-            return DeviceResidentLoader(
-                dataset,
-                batch_size=data_opt["batch_size_per_gpu"] * n_devices,
-                seed=opt.get("manual_seed", 2021),
-                mesh=mesh,
-            )
+            if mesh is None and jax.process_count() > 1:
+                # without the mesh, the resident batch is committed to
+                # this process's local device, and resharding a committed
+                # single-device array onto a mesh spanning OTHER hosts is
+                # not a supported transfer. The CLI always passes the
+                # model's mesh (which takes the put_global path above);
+                # for programmatic callers fall back to the host loader,
+                # whose replicated-numpy batches device_put cleanly.
+                import logging
+
+                logging.getLogger("tecogan").warning(
+                    "device_resident requested under multi-process "
+                    "training without a mesh — falling back to the host "
+                    "loader (pass the model's mesh to create_dataloader "
+                    "for process-local HBM corpus shards)")
+            else:
+                from .device_data import DeviceResidentLoader
+
+                return DeviceResidentLoader(
+                    dataset,
+                    batch_size=data_opt["batch_size_per_gpu"] * n_devices,
+                    seed=opt.get("manual_seed", 2021),
+                    mesh=mesh,
+                )
 
         return TrainLoader(
             dataset,

@@ -48,8 +48,6 @@ def discover_sequences(in_dir: str):
     if not osp.isdir(in_dir):
         raise FileNotFoundError(f"input directory not found: {in_dir}")
     direct = _list_frames(in_dir)
-    if direct:
-        return [(osp.basename(osp.normpath(in_dir)), in_dir, direct)]
     seqs = []
     for name in sorted(os.listdir(in_dir)):
         sub = osp.join(in_dir, name)
@@ -57,6 +55,16 @@ def discover_sequences(in_dir: str):
             frames = _list_frames(sub)
             if frames:
                 seqs.append((name, sub, frames))
+    if direct and seqs:
+        # ambiguous layout: refusing beats silently serving only the loose
+        # frames (a stray thumbnail would shadow every real sequence) or
+        # only the sub-directories (dropping frames the user can see)
+        raise ValueError(
+            f"{in_dir} holds both loose image frames ({direct[0]}, ...) and "
+            f"sequence sub-directories ({seqs[0][0]}, ...); point --in_dir "
+            f"at one sequence directory or remove the stray images")
+    if direct:
+        return [(osp.basename(osp.normpath(in_dir)), in_dir, direct)]
     if not seqs:
         raise FileNotFoundError(
             f"no image frames (or sequence sub-directories with frames) "
@@ -116,7 +124,10 @@ def serve(artifact: str, in_dir: str, out_dir: str, ckpt: str | None = None,
           pad_front: int = 0, padding_mode: str = "reflect",
           quiet: bool = False):
     """Run every sequence under ``in_dir`` through the artifact; write SR
-    PNG frames (input filenames preserved) under ``out_dir``/<seq>/."""
+    PNG frames (input basenames preserved, extension forced to .png —
+    jpeg/bmp inputs are read fine but outputs are never lossy) under
+    ``out_dir``/<seq>/."""
+    from .ops import save_sequence
     from .serving import load_artifact
 
     run, meta, params = load_artifact(artifact)
@@ -163,11 +174,10 @@ def serve(artifact: str, in_dir: str, out_dir: str, ckpt: str | None = None,
             lens.append(len(seq))
         sr = np.asarray(run(params, batch))  # uint8 (n, t, sh, sw, 3)
         for i, (name, _sdir, frames) in enumerate(group):
-            from .ops import save_sequence
-
             out_seq = sr[i, fronts[i]:fronts[i] + lens[i]]
+            out_names = [osp.splitext(f)[0] + ".png" for f in frames]
             save_sequence(osp.join(out_dir, name), out_seq,
-                          frm_idx_lst=list(frames), to_bgr=True)
+                          frm_idx_lst=out_names, to_bgr=True)
             log(f"[serve] {name}: {lens[i]} frames -> "
                 f"{osp.join(out_dir, name)}")
 

@@ -146,6 +146,43 @@ def test_factory_knob(uniform_records):
     assert np.asarray(batch["gt"]).shape == (2, 3, 24, 24, 3)
 
 
+def test_factory_multiprocess_without_mesh_falls_back(uniform_records,
+                                                      monkeypatch, caplog):
+    """Programmatic callers (mesh=None) under multi-process training get
+    the host loader, not a corpus committed to one process's device that
+    a cross-host device_put later cannot reshard; with the mesh the
+    put_global path serves multi-process directly."""
+    import logging
+
+    import jax
+
+    from tecogan_tpu.data import TrainLoader, create_dataloader
+    from tecogan_tpu.data.device_data import DeviceResidentLoader
+    from tecogan_tpu.parallel import get_mesh
+
+    opt = {
+        "scale": 4, "manual_seed": 3,
+        "dataset": {
+            "degradation": {"type": "BD", "sigma": 1.5},
+            "train": {"name": "x", "seq_dir": uniform_records,
+                      "crop_size": 16, "batch_size_per_gpu": 1,
+                      "device_resident": True},
+        },
+        "train": {"tempo_extent": 3},
+    }
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with caplog.at_level(logging.WARNING, logger="tecogan"):
+        loader = create_dataloader(opt, "train", "train", n_devices=1)
+    assert isinstance(loader, TrainLoader)
+    assert any("falling back to the host loader" in r.message
+               for r in caplog.records)
+
+    mesh = get_mesh(min(8, jax.device_count()))
+    loader = create_dataloader(opt, "train", "train",
+                               n_devices=mesh.devices.size, mesh=mesh)
+    assert isinstance(loader, DeviceResidentLoader)
+
+
 def test_device_batch_reshards_to_dp_mesh(uniform_records):
     """A device-born batch device_puts onto a multi-device dp sharding
     (the prepare_training_data path) without a host round-trip and with

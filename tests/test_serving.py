@@ -238,3 +238,59 @@ def test_serve_cli_pad_front_and_ckpt_override(tmp_path, small_case):
     with pytest.raises(ValueError, match="pad_front"):
         serve(art, str(tmp_path / "lr"), str(tmp_path / "sr2"), ckpt=ckpt,
               pad_front=t - pad, quiet=True)
+
+
+def test_serve_ambiguous_layout_is_loud(tmp_path):
+    """A stray loose image next to sequence sub-directories must not
+    silently shadow (or be shadowed by) the real sequences."""
+    import cv2
+
+    from tecogan_tpu.serve import discover_sequences
+
+    root = tmp_path / "lr"
+    (root / "clipA").mkdir(parents=True)
+    img = np.zeros((4, 4, 3), np.uint8)
+    cv2.imwrite(str(root / "clipA" / "0000.png"), img)
+    cv2.imwrite(str(root / "thumbnail.png"), img)  # the stray
+    with pytest.raises(ValueError, match="loose image frames"):
+        discover_sequences(str(root))
+
+
+def test_serve_jpeg_in_png_out(tmp_path, small_case):
+    """jpeg inputs are accepted but outputs are always PNG (lossless) —
+    bit-exact vs the live path fed the same decoded jpeg frames."""
+    import cv2
+
+    cfg, params, _ = small_case
+    t, h, w = 6, 16, 24
+    blob = export_stream(params, cfg, 1, t, h, w, chunk=4)
+    art = str(tmp_path / "m.tecosrv")
+    save_artifact(art, blob, {"n": 1, "t": t, "h": h, "w": w, "scale": 4,
+                              "nf": 8, "nb": 2}, params=params)
+
+    from tecogan_tpu.serve import serve
+
+    rng = np.random.default_rng(11)
+    seq_dir = tmp_path / "lr" / "clipJ"
+    seq_dir.mkdir(parents=True)
+    for i in range(t):
+        fr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(seq_dir / f"{i:04d}.jpg"), fr)
+
+    serve(art, str(tmp_path / "lr"), str(tmp_path / "sr"), quiet=True)
+
+    out_dir = tmp_path / "sr" / "clipJ"
+    names = sorted(p.name for p in out_dir.iterdir())
+    assert names == [f"{i:04d}.png" for i in range(t)]
+
+    # exactness vs the live path on the DECODED (lossy-in, that's fine)
+    # jpeg frames — the output encoding itself must be lossless
+    lr = np.stack([
+        cv2.imread(str(seq_dir / f"{i:04d}.jpg"))[..., ::-1]
+        for i in range(t)]).astype(np.float32) / 255.0
+    want = np.asarray(infer_sequence_batch(
+        params, jnp.asarray(lr[None]), cfg, chunk=4))[0]
+    got = np.stack([
+        cv2.imread(str(out_dir / f"{i:04d}.png"))[..., ::-1]
+        for i in range(t)])
+    np.testing.assert_array_equal(got, want)
