@@ -203,13 +203,15 @@ class DeviceResidentLoader(TrainLoader):
         else:
             self._assemble = jax.jit(assemble, out_shardings=out_shardings)
 
-    def epoch(self, epoch_idx: int):
+    def epoch(self, epoch_idx: int, start_batch: int = 0):
+        """``start_batch`` skips already-consumed batches plan-free on
+        resume (same determinism: streams are keyed by (seed, epoch, i))."""
         import jax
 
         n = len(self.dataset)
         order = np.random.default_rng(
             (self.seed, epoch_idx)).permutation(n)
-        for b in range(len(self)):
+        for b in range(start_batch, len(self)):
             idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
             plans = []
             for i in idxs:

@@ -35,14 +35,19 @@ class TrainLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def epoch(self, epoch_idx: int):
-        """Iterate batches for one epoch (dicts of stacked arrays)."""
+    def epoch(self, epoch_idx: int, start_batch: int = 0):
+        """Iterate batches for one epoch (dicts of stacked arrays).
+
+        ``start_batch`` skips the first batches of the epoch WITHOUT
+        assembling them (resume path): determinism is untouched because
+        each sample's RNG stream is keyed by (seed, epoch, dataset index),
+        not by batch position."""
         n = len(self.dataset)
         order = np.random.default_rng((self.seed, epoch_idx)).permutation(n)
         n_batches = len(self)
         batch_idx = [
             order[i * self.batch_size:(i + 1) * self.batch_size]
-            for i in range(n_batches)
+            for i in range(start_batch, n_batches)
         ]
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

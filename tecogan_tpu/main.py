@@ -8,7 +8,6 @@ mirror the reference so existing experiment YAMLs and tooling work.
 
 from __future__ import annotations
 
-import itertools
 import math
 import os.path as osp
 import time
@@ -147,10 +146,14 @@ def train(opt):
     curr_iter = start_iter
     try:
         for epoch in range(start_epoch, total_epoch):
-            epoch_iter = train_loader.epoch(epoch)
-            if epoch == start_epoch and skip_in_epoch:
-                epoch_iter = itertools.islice(epoch_iter, skip_in_epoch,
-                                              None)
+            # start_batch skips consumed batches WITHOUT assembling them
+            # (a checkpoint late in a long epoch would otherwise decode +
+            # augment thousands of discarded batches before step one);
+            # determinism is identical — sample streams are keyed by
+            # (seed, epoch, dataset index), not batch position
+            epoch_iter = train_loader.epoch(
+                epoch,
+                start_batch=skip_in_epoch if epoch == start_epoch else 0)
             for batch in epoch_iter:
                 it += 1
                 curr_iter = start_iter + it
@@ -188,14 +191,28 @@ def train(opt):
     except BaseException:
         # crash/preemption safety the reference lacks: persist the full
         # training state so auto-resume continues from here (rank 0 only —
-        # concurrent writers would race on the shared path)
+        # concurrent writers would race on the shared path). When the
+        # jitted step ITSELF crashed, the state buffers were donated to it
+        # (donate_argnums) and are already deleted — an emergency save is
+        # impossible for that class; say so loudly instead of silently
+        # swallowing the save failure and letting the operator believe a
+        # checkpoint exists.
         try:
             if jax.process_index() == 0:
-                model.save_training_state(model.state, curr_iter)
-                log_info(f"Emergency training state saved at iter "
-                         f"{curr_iter}")
-        except Exception:
-            pass
+                donated = any(
+                    getattr(x, "is_deleted", lambda: False)()
+                    for x in jax.tree.leaves(model.state))
+                if donated:
+                    log_info(
+                        "Emergency save impossible: the training-state "
+                        "buffers were donated to the failed step — resume "
+                        "from the last periodic checkpoint")
+                else:
+                    model.save_training_state(model.state, curr_iter)
+                    log_info(f"Emergency training state saved at iter "
+                             f"{curr_iter}")
+        except Exception as e:
+            log_info(f"Emergency training-state save failed: {e!r}")
         raise
 
 

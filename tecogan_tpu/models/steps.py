@@ -54,7 +54,11 @@ class TrainConfig(NamedTuple):
     # discriminator policy
     update_policy: str = "adaptive"
     update_threshold: float = 0.4
-    crop_border_ratio: float = 0.75
+    # same default as the YAML path (make_train_config) and the reference
+    # (`vsrgan_model.py:142-143`): 1.0 = no border crop. Keeping the two
+    # construction paths' defaults identical avoids a silent D-input
+    # divergence for directly-constructed configs.
+    crop_border_ratio: float = 1.0
     # bf16 compute for the forward/backward passes (params, optimizer and
     # all loss/BN-statistic accumulation stay fp32). Default ON since the
     # 500-iter soak verified stability + fp32 BN stats (PARITY.md); set
@@ -113,7 +117,6 @@ def prepare_bd_batch(gt, scale: int, sigma: float):
     (`base_model.py:55-85`).
     """
     b = bd_border_size(sigma)
-    n, t, hb, wb, c = gt.shape
     lr = downsample_bd(gt, scale, sigma=sigma, pad_data=False)
     lh, lw = lr.shape[-3], lr.shape[-2]
     gt = gt[..., b:b + scale * lh, b:b + scale * lw, :]
@@ -265,6 +268,14 @@ def tecogan_train_step(state, batch, *, cfg_g, cfg_d, tcfg: TrainConfig,
     pp_crit = define_criterion(tcfg.pingpong_crit)
     fm_crit = define_criterion(tcfg.feature_matching_crit)
     gan_crit = define_criterion(tcfg.gan_crit)
+    if gan_crit is None:
+        # unlike the optional criteria above, the GAN step is built around
+        # the adversarial loss (D loss + G's l_gan term) — a clear config
+        # error beats the NoneType trace-time error it would hit below
+        raise ValueError(
+            "TecoGAN training requires train.gan_crit (reference "
+            "vsrgan_model.py:147-198 always defines it); train without a "
+            "discriminator by using model.name: FRVSR instead")
     use_pp = pp_crit is not None
 
     # bicubic-conditioned data for the discriminator (`vsrgan_model.py:105-108`)

@@ -81,6 +81,43 @@ def test_train_loader_batches_and_determinism(records_dir):
     assert not np.array_equal(b1[0]["gt"], b3[0]["gt"])
 
 
+def test_train_loader_start_batch_skips_without_assembling(records_dir):
+    """Resume path: epoch(e, start_batch=k) yields exactly the tail of
+    epoch(e) and never materialises the skipped batches."""
+    ds = UnpairedClipDataset(records_dir, crop_size=32, tempo_extent=3)
+    loader = TrainLoader(ds, batch_size=4, seed=7, num_workers=2)
+    full = list(loader.epoch(0))
+
+    calls = []
+    orig = ds.sample_plan
+
+    def counting(i, rng):
+        calls.append(i)
+        return orig(i, rng)
+
+    ds.sample_plan = counting
+    tail = list(loader.epoch(0, start_batch=1))
+    ds.sample_plan = orig
+
+    assert len(tail) == len(full) - 1
+    for got, want in zip(tail, full[1:]):
+        np.testing.assert_array_equal(got["gt"], want["gt"])
+    # only the tail's samples were assembled (batch_size per batch)
+    assert len(calls) == 4 * len(tail)
+
+
+def test_device_loader_start_batch_matches_tail(records_dir):
+    from tecogan_tpu.data.device_data import DeviceResidentLoader
+
+    ds = UnpairedClipDataset(records_dir, crop_size=32, tempo_extent=3)
+    dev = DeviceResidentLoader(ds, batch_size=4, seed=7)
+    full = [np.asarray(b["gt"]) for b in dev.epoch(0)]
+    tail = [np.asarray(b["gt"]) for b in dev.epoch(0, start_batch=1)]
+    assert len(tail) == len(full) - 1
+    for got, want in zip(tail, full[1:]):
+        np.testing.assert_array_equal(got, want)
+
+
 def _make_test_opt(gt_root, exp_dir, model_name="FRVSR"):
     return {
         "scale": 4,

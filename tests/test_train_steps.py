@@ -107,6 +107,21 @@ def test_tecogan_step_on_mesh(rng, policy):
     assert int(state["step"]) == 1
 
 
+def test_tecogan_step_requires_gan_crit(rng):
+    """A missing train.gan_crit is a named config error at the step
+    boundary, not a NoneType trace-time crash deep inside jit."""
+    tx_g, _ = make_adam({"lr": 5e-5})
+    tx_d, _ = make_adam({"lr": 5e-5})
+    pg = init_frnet(jax.random.PRNGKey(0), CFG_G)
+    pd = init_stnet(jax.random.PRNGKey(1), CFG_D)
+    state = tecogan_init_state(pg, pd, tx_g, tx_d)
+    batch = {"gt": rng.random((2, 3, 40, 40, 3)).astype(np.float32)}
+    with pytest.raises(ValueError, match="gan_crit"):
+        tecogan_train_step(state, batch, cfg_g=CFG_G, cfg_d=CFG_D,
+                           tcfg=TCFG._replace(gan_crit=None),
+                           tx_g=tx_g, tx_d=tx_d)
+
+
 def test_tecogan_d_update_follows_vote(rng):
     """With a huge threshold the adaptive policy must always update."""
     mesh = get_mesh()
