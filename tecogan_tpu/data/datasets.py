@@ -175,8 +175,30 @@ class PairedClipDataset:
         self.lr_store = open_store(lr_seq_dir)
         gt_keys = _filter_keys(self.gt_store.keys, filter_file)
         lr_keys = _filter_keys(self.lr_store.keys, filter_file)
-        self._check(gt_keys, lr_keys, scale)
-        self.pairs = list(zip(gt_keys, lr_keys))
+        # pair by parsed (vid, frame idx), NOT by zipping the two sorted
+        # key lists: the keys embed their (different) sizes, and lexical
+        # order can diverge between the GT and LR spellings of the same
+        # vids (e.g. 'a' vs 'a_120x2' flip order between 256x256 and
+        # 64x64 stores), which would mispair and then spuriously reject a
+        # perfectly consistent dataset
+        lr_by_id = {}
+        for lk in lr_keys:
+            lv, (_lt, _lh, _lw), li = parse_key(lk)
+            lr_by_id[(lv, li)] = lk
+        if len(lr_by_id) != len(lr_keys):
+            raise ValueError("duplicate (vid, idx) among LR keys")
+        pairs = []
+        for gk in gt_keys:
+            gv, _g, gi = parse_key(gk)
+            lk = lr_by_id.pop((gv, gi), None)
+            if lk is None:
+                raise ValueError(f"GT key {gk} has no LR counterpart")
+            pairs.append((gk, lk))
+        if lr_by_id:
+            extra = sorted(lr_by_id.values())[:3]
+            raise ValueError(f"LR keys without GT counterparts: {extra}")
+        self._check([g for g, _ in pairs], [l for _, l in pairs], scale)
+        self.pairs = pairs
         self.scale = scale
         self.gt_crop_size = gt_crop_size
         self.tempo_extent = tempo_extent

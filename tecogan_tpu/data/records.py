@@ -50,6 +50,14 @@ class RecordWriter:
         """frames: (t, h, w, c) uint8 RGB."""
         t, h, w, c = frames.shape
         assert frames.dtype == np.uint8
+        if any(v == vid for (v, *_rest) in self.seqs):
+            # seq_info on the read side is keyed by vid, so a duplicate
+            # would silently shadow the earlier sequence's bytes: every
+            # read of the first 'vid' would return the second one's pixels
+            raise ValueError(
+                f"duplicate sequence name {vid!r}: records keys are "
+                f"vid-unique (reference LMDB keys are too); rename the "
+                f"source directory")
         start = self.offset
         data = np.ascontiguousarray(frames)
         self.blob.write(data.tobytes())
@@ -68,6 +76,16 @@ class RecordWriter:
             json.dump(meta, f)
 
 
+def _check_clip_dtype(dtype):
+    """Only float32 (normalised) and uint8 (raw) are supported — anything
+    else (e.g. float16) would silently return 0-255-scaled values under a
+    'normalised' dtype (the native assembler supports exactly these two)."""
+    if dtype not in (np.float32, np.uint8):
+        raise ValueError(
+            f"clip dtype must be float32 (normalised) or uint8 (raw), "
+            f"got {np.dtype(dtype)}")
+
+
 class _StoreBase:
     """Shared clip-assembly helper (numpy fallback path)."""
 
@@ -75,6 +93,7 @@ class _StoreBase:
         """Crop one frame per key at (tops[i], lefts[i], ch, cw) and return
         a (t, ch, cw, c) clip: float32 in [0, 1], or raw uint8 (normalise
         on device — a quarter of the host->device bytes)."""
+        _check_clip_dtype(dtype)
         frames = []
         for key, top, left in zip(keys, tops, lefts):
             frm = self.get(key)
@@ -121,6 +140,13 @@ class RecordStore(_StoreBase):
         self.seq_info = {}
         self.keys = []
         for s in meta["seqs"]:
+            if s["vid"] in self.seq_info:
+                # last-wins would alias every earlier same-named
+                # sequence's reads onto the later one's bytes
+                raise ValueError(
+                    f"records index {rec_dir} holds duplicate sequence "
+                    f"name {s['vid']!r}; rebuild it with "
+                    f"scripts/create_records.py from uniquely-named clips")
             self.seq_info[s["vid"]] = s
             for i in range(s["t"]):
                 self.keys.append(make_key(s["vid"], s["t"], s["h"], s["w"], i))
@@ -169,6 +195,7 @@ class RecordStore(_StoreBase):
         return offs, h, w, c
 
     def clip(self, keys, tops, lefts, ch, cw, dtype=np.float32) -> np.ndarray:
+        _check_clip_dtype(dtype)
         nat = self._native_offsets(keys)
         if nat is None:
             return super().clip(keys, tops, lefts, ch, cw, dtype)

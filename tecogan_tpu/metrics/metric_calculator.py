@@ -46,7 +46,10 @@ _KNOWN_METRICS = ("PSNR", "SSIM", "LPIPS", "tOF")
 
 class MetricCalculator:
     def __init__(self, opt):
-        self.metric_opt = opt["metric"]
+        # a key with an empty YAML body ("metric:\n  PSNR:") parses to
+        # None — normalise to {} so the .get(...) defaults below apply
+        # instead of an AttributeError on NoneType
+        self.metric_opt = {k: (v or {}) for k, v in opt["metric"].items()}
         unknown = [m for m in self.metric_opt if m not in _KNOWN_METRICS]
         if unknown:
             # a typo'd/unsupported key would otherwise collect no frames

@@ -30,8 +30,9 @@ import pandas as pd
 from ..metrics.ssim import ssim as ssim_fn
 
 _CUTFR = 2
-_FARNEBACK = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
-                  poly_n=5, poly_sigma=1.2, flags=0)
+# shared with the training-time metric stack so the two tOF columns can
+# never silently desynchronise on flow parameters
+from ..metrics.metric_calculator import _FARNEBACK  # noqa: E402
 
 # DUF-style RGB->YCbCr (float output, no rounding)
 _T = np.array([
@@ -75,15 +76,45 @@ def crop_32(img):
     return img[y:y + h, x:x + w], y, x
 
 
-def psnr_y(tar, out):
-    d = _luma(tar) - _luma(out)
+def _psnr_luma(yt, yo):
+    d = yt - yo
     rmse = np.sqrt(np.mean(d * d))
     return float("inf") if rmse == 0 else 20 * np.log10(255.0 / rmse)
+
+
+def psnr_y(tar, out):
+    return _psnr_luma(_luma(tar), _luma(out))
 
 
 def ssim_y(tar, out):
     yt, yo = _luma(tar), _luma(out)
     return ssim_fn(yt, yo, data_range=yo.max() - yo.min())
+
+
+def _pair_frames(outs, tars, rdir, tdir):
+    """Pair result/target frame paths. Equal-length lists pair by sorted
+    order (names may legitimately differ between pipelines); unequal
+    lengths pair by matching basenames — index-zipping a common prefix
+    would silently compare WRONG frame pairs whenever the missing frames
+    are not a trailing suffix (e.g. a result dir lacking frame 0000)."""
+    if len(outs) == len(tars):
+        return outs, tars
+    o_names = {osp.basename(p): p for p in outs}
+    t_names = {osp.basename(p): p for p in tars}
+    common = [n for n in sorted(o_names) if n in t_names]
+    # preserve the numeric list_png ordering for the common names
+    common.sort(key=lambda f: int("".join(filter(str.isdigit, f)) or -1))
+    if not common:
+        raise SystemExit(
+            f"{rdir} has {len(outs)} frames but {tdir} has {len(tars)} and "
+            f"no basenames match — refusing to guess an alignment")
+    dropped = (sorted(set(o_names) - set(common))
+               + sorted(set(t_names) - set(common)))
+    print(f"WARNING: {rdir} has {len(outs)} frames but {tdir} has "
+          f"{len(tars)}; scoring the {len(common)} basename-matched pairs "
+          f"(unmatched: {', '.join(dropped[:5])}"
+          f"{', ...' if len(dropped) > 5 else ''})")
+    return [o_names[n] for n in common], [t_names[n] for n in common]
 
 
 def _try_lpips():
@@ -149,6 +180,12 @@ def _read_rgb(path):
 
 def evaluate_folders(result_dirs, target_dirs, output_dir):
     os.makedirs(output_dir, exist_ok=True)
+    if len(result_dirs) != len(target_dirs):
+        # zip would silently drop the surplus dirs and report a
+        # "complete" evaluation over a subset
+        raise SystemExit(
+            f"--results has {len(result_dirs)} dirs but --targets has "
+            f"{len(target_dirs)}; the lists pair positionally")
     result_dirs, target_dirs = _expand_seq_dirs(result_dirs, target_dirs)
     if not result_dirs:
         # appending Avg rows of 0.0 to a (possibly stale) metrics.csv
@@ -169,11 +206,8 @@ def evaluate_folders(result_dirs, target_dirs, output_dir):
     log = open(log_path, "a")
 
     for fi, (rdir, tdir) in enumerate(zip(result_dirs, target_dirs)):
-        outs, tars = list_png(rdir), list_png(tdir)
-        if len(outs) != len(tars):
-            print(f"WARNING: {rdir} has {len(outs)} frames but {tdir} has "
-                  f"{len(tars)}; scoring the common prefix")
-        n = min(len(tars), len(outs))
+        outs, tars = _pair_frames(list_png(rdir), list_png(tdir), rdir, tdir)
+        n = len(outs)
         series = {k: [] for k in keys}
         pre = {}
 
@@ -200,8 +234,10 @@ def evaluate_folders(result_dirs, target_dirs, output_dir):
 
             tar_c, _, _ = crop_32(tar)
             out_c, _, _ = crop_32(out)
-            series["PSNR"].append(psnr_y(tar_c, out_c))
-            series["SSIM"].append(ssim_y(tar_c, out_c))
+            yt, yo = _luma(tar_c), _luma(out_c)  # shared by PSNR + SSIM
+            series["PSNR"].append(_psnr_luma(yt, yo))
+            series["SSIM"].append(ssim_fn(yt, yo,
+                                          data_range=yo.max() - yo.min()))
 
             if lpips:
                 d01 = float(lpips(tar_c, out_c)[0])
@@ -225,6 +261,15 @@ def evaluate_folders(result_dirs, target_dirs, output_dir):
                 folder_n[k] += 1
         pd.DataFrame(pd_dict).to_csv(csv_path, mode="w" if fi == 0 else "a")
         log.write(f"folder {fi}: {rdir}\n")
+
+    if all(len_d[k] == 0 for k in keys):
+        # every sequence was too short for the cutfr=2 protocol — a
+        # summary (and CSV rows) of 0.0 would read as a real zero-score
+        # evaluation, the same failure class the no-pairs guard refuses
+        raise SystemExit(
+            "no frames were scorable (every sequence has <= "
+            f"{2 * _CUTFR} frames; the protocol skips cutfr={_CUTFR} "
+            "at each end) — nothing was evaluated")
 
     summary = {}
     for k in keys:

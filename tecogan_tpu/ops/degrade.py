@@ -40,10 +40,11 @@ def downsample_bd(
 
 
 @functools.lru_cache(maxsize=64)
-def _imresize_mats(in_h: int, in_w: int, out_h: int, out_w: int, antialias: bool):
+def _imresize_mats(in_h: int, in_w: int, out_h: int, out_w: int,
+                   antialias: bool, scale: float | None):
     return (
-        matlab_imresize_matrix(in_h, out_h, antialias),
-        matlab_imresize_matrix(in_w, out_w, antialias),
+        matlab_imresize_matrix(in_h, out_h, antialias, scale=scale),
+        matlab_imresize_matrix(in_w, out_w, antialias, scale=scale),
     )
 
 
@@ -54,11 +55,18 @@ def imresize_matlab(
 
     Replaces `scripts/generate_lr_bi.m` so the BI degradation pipeline needs
     no Matlab. Works on jnp or np arrays (returns the matching kind).
+
+    Matlab semantics for both calling conventions: a given ``scale`` is
+    used directly in the coordinate mapping (output size = ceil(in*scale));
+    a given ``out_shape`` derives the per-axis scale as out/in.
     """
     h, w = x.shape[-3], x.shape[-2]
     if out_shape is None:
         out_shape = (int(np.ceil(h * scale)), int(np.ceil(w * scale)))
-    mh, mw = _imresize_mats(h, w, out_shape[0], out_shape[1], antialias)
+    else:
+        scale = None
+    mh, mw = _imresize_mats(h, w, out_shape[0], out_shape[1], antialias,
+                            scale)
     if isinstance(x, np.ndarray):
         y = np.einsum("Oh,...hwc->...Owc", mh.astype(np.float64), x)
         return np.einsum("Pw,...Owc->...OPc", mw.astype(np.float64), y)

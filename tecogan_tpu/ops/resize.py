@@ -175,7 +175,8 @@ def _matlab_cubic(x: np.ndarray) -> np.ndarray:
 
 
 def matlab_imresize_matrix(
-    in_size: int, out_size: int, antialias: bool = True
+    in_size: int, out_size: int, antialias: bool = True,
+    scale: float | None = None,
 ) -> np.ndarray:
     """(out, in) matrix reproducing Matlab imresize's bicubic resampling.
 
@@ -183,8 +184,17 @@ def matlab_imresize_matrix(
     mapping, kernel widened by 1/scale when downscaling with antialiasing,
     boundary handling by folding out-of-range taps onto the edge pixels.
     Used for the BI degradation pipeline (`scripts/generate_lr_bi.m:29-40`).
+
+    ``scale``: the caller-requested scale factor. Matlab's scale-given
+    convention (imresize(I, scale)) maps coordinates with the GIVEN scale
+    while the output size is ceil(in*scale) — when in_size is not a
+    multiple of 1/scale the two differ, and deriving scale as out/in
+    shifts the mapping and kernel width near the borders. Defaults to
+    out_size/in_size (the OutputSize calling convention, where Matlab
+    derives the scale the same way).
     """
-    scale = out_size / in_size
+    if scale is None:
+        scale = out_size / in_size
     if antialias and scale < 1.0:
         kernel_width = 4.0 / scale
 

@@ -55,6 +55,73 @@ def test_record_store_roundtrip(records_dir, rng):
     assert frm.shape == (44, 52, 3) and frm.dtype == np.uint8
 
 
+def test_record_writer_rejects_duplicate_vid(tmp_path, rng):
+    """Duplicate sequence names would silently alias every read of the
+    earlier sequence onto the later one's bytes (seq_info is vid-keyed)."""
+    from tecogan_tpu.data.records import RecordStore, RecordWriter
+
+    out = str(tmp_path / "dup.rec")
+    w = RecordWriter(out)
+    frames = (rng.random((2, 8, 8, 3)) * 255).astype(np.uint8)
+    w.add_sequence("vid", frames)
+    with pytest.raises(ValueError, match="duplicate sequence name"):
+        w.add_sequence("vid", frames)
+
+    # and a hand-corrupted index with duplicates refuses to open
+    w.close()
+    idx = osp.join(out, "index.json")
+    meta = json.load(open(idx))
+    meta["seqs"].append(dict(meta["seqs"][0]))
+    json.dump(meta, open(idx, "w"))
+    with pytest.raises(ValueError, match="duplicate sequence name"):
+        RecordStore(out)
+
+
+def test_clip_rejects_unsupported_dtype(records_dir):
+    """float16 etc. would silently return raw 0-255 values under a
+    'normalised' dtype on the numpy fallback path."""
+    from tecogan_tpu.data.records import RecordStore, make_key
+
+    store = RecordStore(records_dir)
+    keys = [make_key("vid0", 5, 44, 52, i) for i in range(2)]
+    with pytest.raises(ValueError, match="float32 .* or uint8"):
+        store.clip(keys, [0, 0], [0, 0], 8, 8, np.float16)
+
+
+def test_paired_dataset_pairs_by_vid_not_sort_order(tmp_path, rng):
+    """GT/LR key sort order can diverge when the size substring flips the
+    comparison (vids 'a' vs 'a_120x2'); pairing is by (vid, idx)."""
+    from tecogan_tpu.data import PairedClipDataset
+    from tecogan_tpu.data.records import RecordWriter, parse_key
+
+    gt_dir, lr_dir = str(tmp_path / "gt.rec"), str(tmp_path / "lr.rec")
+    wg, wl = RecordWriter(gt_dir), RecordWriter(lr_dir)
+    for vid in ["a", "a_120x2"]:
+        wg.add_sequence(vid, (rng.random((3, 64, 64, 3)) * 255
+                              ).astype(np.uint8))
+        wl.add_sequence(vid, (rng.random((3, 16, 16, 3)) * 255
+                              ).astype(np.uint8))
+    wg.close()
+    wl.close()
+
+    ds = PairedClipDataset(gt_dir, lr_dir, scale=4, gt_crop_size=32,
+                           tempo_extent=2)
+    assert len(ds.pairs) == 6
+    for gk, lk in ds.pairs:
+        gv, _g, gi = parse_key(gk)
+        lv, _l, li = parse_key(lk)
+        assert (gv, gi) == (lv, li)
+
+    # a missing LR counterpart is a named error, not a zip mispair
+    wl2 = RecordWriter(str(tmp_path / "lr2.rec"))
+    wl2.add_sequence("a", (rng.random((3, 16, 16, 3)) * 255
+                           ).astype(np.uint8))
+    wl2.close()
+    with pytest.raises(ValueError, match="no LR counterpart"):
+        PairedClipDataset(gt_dir, str(tmp_path / "lr2.rec"), scale=4,
+                          gt_crop_size=32, tempo_extent=2)
+
+
 def test_unpaired_clip_dataset(records_dir):
     ds = UnpairedClipDataset(records_dir, crop_size=32, tempo_extent=4,
                              moving_first_frame=True, moving_factor=0.5)

@@ -131,6 +131,64 @@ def test_evaluate_folders_refuses_empty_pair_list(tmp_path):
                          [str(tmp_path / "missing_t")], str(out))
 
 
+def test_missing_leading_frame_pairs_by_basename(tmp_path):
+    """A result dir lacking frame 0000 must not shift every comparison by
+    one (index-zipped common prefix); frames pair by basename and score
+    identically to the full-sequence run minus the dropped frame."""
+    gt = str(tmp_path / "gt_seq")
+    sr = str(tmp_path / "sr_seq")
+    _write_seq(gt, n=9, seed=3)
+    _write_seq(sr, n=9, seed=3, noise=6.0)
+    os.remove(osp.join(sr, "0000.png"))
+
+    summary = evaluate_folders([sr], [gt], str(tmp_path / "log"))
+    # 8 matched frames (0001..0008), cutfr=2 -> 4 scored
+    assert summary["PSNR"][0] == 4
+    # aligned pairs: SR vs its own GT frame differs only by the noise, so
+    # PSNR stays in the ~6-noise band; a one-frame misalignment (roll by
+    # 3 px) would collapse it far below
+    assert 25 < summary["PSNR"][1] < 45
+
+    # disjoint names with unequal counts refuse loudly
+    import pytest
+
+    ren = str(tmp_path / "sr_ren")
+    os.makedirs(ren)
+    for i, f in enumerate(sorted(os.listdir(sr))):
+        cv2.imwrite(osp.join(ren, f"out{i:03d}.png"),
+                    cv2.imread(osp.join(sr, f)))
+    with pytest.raises(SystemExit, match="no basenames match"):
+        evaluate_folders([ren], [gt], str(tmp_path / "log2"))
+
+
+def test_unequal_dir_lists_refuse(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="pair positionally"):
+        evaluate_folders(["a", "b"], ["c"], str(tmp_path / "log"))
+
+
+def test_all_sequences_too_short_is_loud(tmp_path):
+    """Every sequence <=4 frames (2*cutfr) -> nothing scorable; a 0.0
+    summary would read as a real zero-score evaluation."""
+    import pytest
+
+    _write_seq(str(tmp_path / "gt"), n=4, seed=4)
+    _write_seq(str(tmp_path / "sr"), n=4, seed=4, noise=6.0)
+    with pytest.raises(SystemExit, match="no frames were scorable"):
+        evaluate_folders([str(tmp_path / "sr")], [str(tmp_path / "gt")],
+                         str(tmp_path / "log"))
+
+
+def test_metric_calculator_accepts_empty_yaml_body():
+    """'metric:\\n  PSNR:' parses to {'PSNR': None} — defaults apply
+    instead of an AttributeError on NoneType."""
+    from tecogan_tpu.metrics.metric_calculator import MetricCalculator
+
+    mc = MetricCalculator({"metric": {"PSNR": None, "SSIM": None}})
+    assert mc.psnr_colorspace == "y"
+
+
 def test_unreadable_png_raises_with_filename(tmp_path):
     import pytest
 

@@ -186,8 +186,12 @@ def test_matlab_imresize_matrix_matches_literal_contributions():
     past the border)."""
     from tecogan_tpu.ops.resize import matlab_imresize_matrix
 
-    def matlab_contributions(in_len, out_len, antialias=True):
-        scale = out_len / in_len
+    def matlab_contributions(in_len, out_len, antialias=True, scale=None):
+        # Matlab's scale-given convention maps with the GIVEN scale while
+        # out_len = ceil(in_len * scale); the OutputSize convention derives
+        # scale = out/in (identical when in_len divides evenly)
+        if scale is None:
+            scale = out_len / in_len
 
         def h(x):
             x = np.abs(x)
@@ -220,3 +224,30 @@ def test_matlab_imresize_matrix_matches_literal_contributions():
         ours = matlab_imresize_matrix(n, out)
         ref = matlab_contributions(n, out)
         np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+    # scale-given convention at non-divisible sizes: out = ceil(n*s) but
+    # the mapping must use the REQUESTED scale, not out/n
+    for n, s in [(101, 0.25), (33, 0.5), (13, 0.25), (10, 0.35)]:
+        out = int(np.ceil(n * s))
+        ours = matlab_imresize_matrix(n, out, scale=s)
+        ref = matlab_contributions(n, out, scale=s)
+        np.testing.assert_allclose(ours, ref, atol=1e-7)
+        # and the two conventions genuinely differ here, so threading the
+        # scale through is load-bearing
+        assert np.abs(ours - matlab_imresize_matrix(n, out)).max() > 1e-4
+
+
+def test_imresize_matlab_scale_given_nondivisible():
+    """imresize_matlab(x, scale=s) on a non-multiple size uses the
+    requested scale in the mapping (Matlab parity), pinned against a
+    direct dense application of the oracle matrices."""
+    from tecogan_tpu.ops.resize import matlab_imresize_matrix
+
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 101, 53, 3)).astype(np.float64)
+    y = imresize_matlab(x, scale=0.25)
+    assert y.shape == (1, 26, 14, 3)
+    mh = matlab_imresize_matrix(101, 26, scale=0.25).astype(np.float64)
+    mw = matlab_imresize_matrix(53, 14, scale=0.25).astype(np.float64)
+    want = np.einsum("Oh,Pw,nhwc->nOPc", mh, mw, x)
+    np.testing.assert_allclose(np.asarray(y), want, atol=1e-10)
