@@ -15,6 +15,10 @@ from tecogan_tpu.ops.warp_pallas import backward_warp_pallas
     ((1, 24, 40, 3), 6.0),     # smooth small flow
     ((2, 16, 130, 3), 30.0),   # large flow, cross-block taps, odd width
     ((1, 9, 257, 1), 300.0),   # heavily clamped flow, border behaviour
+    # 32-aligned height (h == hp): the last tile's displacement loop can
+    # reach sy_start == hp exactly, where the slab mod-roll aliases row 0 —
+    # correct only because every weight is provably zero in that iteration
+    ((1, 64, 128, 3), 80.0),
 ])
 def test_pallas_warp_matches_gather(rng, shape, maxflow):
     n, h, w, c = shape

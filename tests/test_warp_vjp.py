@@ -25,13 +25,18 @@ def _loss_new(x, fl):
 
 
 @pytest.mark.parametrize("shape", [(2, 32, 48, 3), (1, 17, 23, 3),
-                                   (2, 40, 128, 3)])
+                                   (2, 40, 128, 3), (1, 64, 128, 3)])
 def test_warp_vjp_matches_gather_autodiff(rng, shape):
     n, h, w, c = shape
     x = jnp.asarray(rng.random((n, h, w, c)), jnp.float32)
     flow = jnp.asarray((rng.random((n, h, w, 2)) - 0.5) * 9, jnp.float32)
     # out-of-range flows exercise the border-clamp gradient semantics
     flow = flow.at[:, :3, :3].set(25.0).at[:, -2:, -2:].set(-30.0)
+    if h % 32 == 0:
+        # 32-aligned heights: strong downward flow in the last tile's top
+        # rows drives the slab loops to sy_start == hp exactly, where the
+        # mod-roll aliases row 0 (all-masked by construction — pin it)
+        flow = flow.at[:, h - 32:h - 28, :, 1].set(float(h))
 
     out_ref = backward_warp(x, flow)
     out_new = backward_warp_diff(x, flow, interpret=True)
